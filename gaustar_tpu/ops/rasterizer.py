@@ -1,0 +1,126 @@
+"""Public differentiable rasterizer API (tile-based production path).
+
+Pipeline (the TPU re-architecture of cuda_rasterizer/rasterizer_impl.cu:197-338):
+
+    preprocess (jnp, autodiff)            forward.cu:156-256
+      -> bin_gaussians (lax.sort)         rasterizer_impl.cu:270-318
+      -> gather_pair_data (jnp gather)    [VJP = deterministic segment scatter-add,
+                                           replacing backward.cu's float atomics]
+      -> blend                            forward.cu:261-374 / backward.cu:400-557
+           impl='jax'    pure-XLA vmap-over-tiles (portable, CPU tests)
+           impl='pallas' Pallas TPU kernels with custom VJP (hot path)
+      -> assemble + background composite  forward.cu:367-373
+
+Static capacities (`max_pairs`, `max_per_tile`) make every shape jit-stable; capacity
+overflow is reported in the aux output instead of being silently wrong.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaustar_tpu.cameras import Camera
+from gaustar_tpu.ops import binning
+from gaustar_tpu.ops import blend_jax
+from gaustar_tpu.ops.projection import TILE, preprocess
+from gaustar_tpu.ops.rasterizer_ref import rasterize_dense
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    max_pairs: int = 1 << 20
+    chunk: int = 256  # pallas blend chunk (pairs per VMEM block)
+    max_per_tile: int = 2048  # static per-tile capacity of the 'jax' blend impl
+    impl: str = "auto"  # 'auto' | 'pallas' | 'jax' | 'dense'
+    channels: int = 3
+
+    def resolve_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        return "pallas" if jax.default_backend() == "tpu" else "jax"
+
+
+class RasterAux(NamedTuple):
+    final_T: jnp.ndarray  # [H, W]
+    n_contrib: jnp.ndarray  # [H, W] int32
+    radii: jnp.ndarray  # [N] int32
+    num_pairs: jnp.ndarray  # [] int32 (overflow if > config.max_pairs)
+    num_padded: jnp.ndarray  # [] int32
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    camera: Camera,
+    bg: Any = (0.0, 0.0, 0.0),
+    config: RasterConfig = RasterConfig(),
+    means2d_dummy: jnp.ndarray | None = None,
+):
+    """Render preprocessed gaussian primitives; returns (image [H,W,C], RasterAux).
+
+    `means2d_dummy` replicates the reference's screenspace_points trick
+    (sugar_model.py:1266-1276): an all-zero [N, 2] array whose gradient receives
+    dL/d(NDC mean2d) — the densifier's statistic (sugar_densifier.py:156-171).
+    """
+    impl = config.resolve_impl()
+    W, H = camera.width, camera.height
+    g = preprocess(means3d, cov3d, opacities, colors, camera)
+    if means2d_dummy is not None:
+        # pixel = ndc2pix(ndc): d(pixel)/d(ndc) = S/2 per axis (backward.cu:460-461).
+        scale = jnp.asarray([0.5 * W, 0.5 * H], jnp.float32)
+        g = g._replace(mean2d=g.mean2d + means2d_dummy * scale)
+
+    if impl == "dense":
+        out = rasterize_dense(g, W, H)
+        img = out.composite(bg)
+        zero = jnp.zeros((), jnp.int32)
+        return img, RasterAux(out.final_T, out.n_contrib, out.radii, zero, zero)
+
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+    binned = binning.bin_gaussians(g, grid_x, grid_y, config.max_pairs, config.chunk)
+    pair_data = binning.gather_pair_data(g, binned)
+
+    if impl == "jax":
+        tiles = blend_jax.blend_tiles_jax(
+            pair_data, binned, grid_x, grid_y, config.max_per_tile, config.channels
+        )
+        color_t, final_t_t, ncontrib_t = tiles.color, tiles.final_T, tiles.n_contrib
+    elif impl == "pallas":
+        from gaustar_tpu.ops.blend_pallas import blend_tiles_pallas
+
+        color_t, final_t_t, ncontrib_t = blend_tiles_pallas(
+            pair_data,
+            binned.tile_start,
+            binned.tile_nchunks,
+            grid_x=grid_x,
+            grid_y=grid_y,
+            width=W,
+            height=H,
+            chunk=config.chunk,
+            channels=config.channels,
+        )
+    else:
+        raise ValueError(f"unknown rasterizer impl: {impl}")
+
+    color = blend_jax.assemble_image(color_t, grid_x, grid_y, W, H)
+    final_t = blend_jax.assemble_image(final_t_t[..., None], grid_x, grid_y, W, H)[..., 0]
+    n_contrib = blend_jax.assemble_image(
+        ncontrib_t[..., None].astype(jnp.int32), grid_x, grid_y, W, H
+    )[..., 0]
+
+    img = color + final_t[..., None] * jnp.asarray(bg, jnp.float32)
+    aux = RasterAux(
+        final_T=final_t,
+        n_contrib=n_contrib,
+        radii=g.radius,
+        num_pairs=binned.num_pairs,
+        num_padded=binned.num_padded,
+    )
+    return img, aux

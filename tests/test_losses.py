@@ -1,0 +1,81 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaustar_tpu.ops import losses
+
+
+def test_l1_l2():
+    a = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    b = jnp.zeros((2, 2))
+    assert np.isclose(losses.l1_loss(a, b), 2.5)
+    assert np.isclose(losses.l2_loss(a, b), 7.5)
+
+
+def test_ssim_identity():
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(32, 32, 3)).astype(np.float32))
+    assert np.isclose(float(losses.ssim(img, img)), 1.0, atol=1e-5)
+
+
+def test_ssim_matches_torch_reference():
+    """Golden test against the reference SSIM (loss_utils.py:33-63) re-run in torch."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from math import exp
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(24, 20, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(np.float32)
+
+    def torch_ssim(img1, img2, window_size=11):
+        channel = img1.size(-3)
+        gauss = torch.tensor(
+            [exp(-((x - window_size // 2) ** 2) / 4.5) for x in range(window_size)]
+        )
+        g = (gauss / gauss.sum()).unsqueeze(1)
+        window = (g @ g.t()).float().unsqueeze(0).unsqueeze(0)
+        window = window.expand(channel, 1, window_size, window_size).contiguous()
+        pad = window_size // 2
+        mu1 = F.conv2d(img1, window, padding=pad, groups=channel)
+        mu2 = F.conv2d(img2, window, padding=pad, groups=channel)
+        mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+        s1 = F.conv2d(img1 * img1, window, padding=pad, groups=channel) - mu1_sq
+        s2 = F.conv2d(img2 * img2, window, padding=pad, groups=channel) - mu2_sq
+        s12 = F.conv2d(img1 * img2, window, padding=pad, groups=channel) - mu1_mu2
+        c1, c2 = 0.01**2, 0.03**2
+        return (
+            ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+        ).mean()
+
+    want = float(
+        torch_ssim(
+            torch.from_numpy(a).permute(2, 0, 1)[None],
+            torch.from_numpy(b).permute(2, 0, 1)[None],
+        )
+    )
+    got = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert np.isclose(got, want, atol=1e-5)
+
+
+def test_mesh_losses_flat_sheet():
+    # Two triangles forming a flat quad: normal consistency loss == 0.
+    verts = jnp.asarray([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
+    faces = jnp.asarray([[0, 1, 2], [1, 3, 2]])
+    adj = jnp.asarray([[0, 1]])
+    nc = losses.mesh_normal_consistency_loss(verts, faces, adj)
+    assert np.isclose(float(nc), 0.0, atol=1e-7)
+    areas, normals = losses.face_areas_normals(verts, faces)
+    np.testing.assert_allclose(areas, [0.5, 0.5], rtol=1e-6)
+    np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, rtol=1e-6)
+
+
+def test_edge_area_iso():
+    verts = jnp.asarray([[0.0, 0, 0], [2, 0, 0], [0, 2, 0]])
+    faces = jnp.asarray([[0, 1, 2]])
+    edges = jnp.asarray([[0, 1], [1, 2], [0, 2]])
+    ref_len = jnp.asarray([1.0, 1.0, 1.0])
+    loss = losses.mesh_edge_isometry_loss(verts, edges, ref_len)
+    want = ((2 - 1) ** 2 + (np.sqrt(8) - 1) ** 2 + (2 - 1) ** 2) / 3
+    assert np.isclose(float(loss), want, rtol=1e-5)
+    area_loss = losses.mesh_area_isometry_loss(verts, faces, jnp.asarray([1.0]))
+    assert np.isclose(float(area_loss), 1.0, rtol=1e-6)

@@ -1,0 +1,44 @@
+import jax.numpy as jnp
+import numpy as np
+
+from gaustar_tpu.ops import sh
+
+
+def test_deg0_is_constant():
+    coeffs = np.zeros((5, 9, 3), np.float32)
+    coeffs[:, 0, :] = 1.0
+    dirs = np.random.default_rng(0).normal(size=(5, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = sh.eval_sh(0, jnp.asarray(coeffs), jnp.asarray(dirs))
+    np.testing.assert_allclose(out, sh.C0, rtol=1e-6)
+
+
+def test_rgb_sh_roundtrip():
+    rgb = np.random.default_rng(1).uniform(size=(10, 3)).astype(np.float32)
+    back = sh.sh_to_rgb_dc(sh.rgb_to_sh(jnp.asarray(rgb)))
+    np.testing.assert_allclose(back, rgb, rtol=1e-5, atol=1e-6)
+
+
+def test_sh_to_rgb_clamps_negative():
+    coeffs = np.zeros((1, 9, 3), np.float32)
+    coeffs[:, 0, :] = -10.0  # strongly negative dc -> clamped to 0
+    pos = jnp.asarray([[1.0, 0.0, 0.0]])
+    campos = jnp.zeros(3)
+    out = sh.sh_to_rgb(2, jnp.asarray(coeffs), pos, campos)
+    assert (out == 0.0).all()
+
+
+def test_deg1_matches_manual():
+    rng = np.random.default_rng(2)
+    coeffs = rng.normal(size=(4, 4, 1)).astype(np.float32)
+    dirs = rng.normal(size=(4, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    expect = (
+        sh.C0 * coeffs[:, 0, 0]
+        - sh.C1 * y * coeffs[:, 1, 0]
+        + sh.C1 * z * coeffs[:, 2, 0]
+        - sh.C1 * x * coeffs[:, 3, 0]
+    )
+    out = sh.eval_sh(1, jnp.asarray(coeffs), jnp.asarray(dirs))[:, 0]
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
