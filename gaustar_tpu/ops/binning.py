@@ -27,7 +27,8 @@ from gaustar_tpu.ops.projection import Gaussians2D
 
 
 class BinnedPairs(NamedTuple):
-    gauss_idx: jnp.ndarray  # [cap] int32 gaussian id per padded pair slot; N = padding
+    gauss_idx: jnp.ndarray  # [cap] int32 DEPTH-RANK gaussian id per padded pair slot; N = padding
+    depth_order: jnp.ndarray  # [N] int32 gaussian index sorted by depth (rank -> original id)
     pair_valid: jnp.ndarray  # [cap] bool
     tile_start: jnp.ndarray  # [T] int32 segment start (multiple of G)
     tile_count: jnp.ndarray  # [T] int32 true pair count per tile
@@ -52,41 +53,64 @@ def bin_gaussians(
     n_tiles = grid_x * grid_y
     cap = padded_capacity(max_pairs, n_tiles, chunk)
 
-    touched = g.tiles_touched.astype(jnp.int32)
+    # Depth-rank trick: sort the N gaussians by depth once (stable => ties break by
+    # gaussian index, identical to the CUDA pair sort's stable radix tie order),
+    # emit pairs in that order, then a SINGLE-KEY stable sort by tile id preserves
+    # depth order within each tile. This replaces the reference's 64-bit
+    # [tileID<<32|depth-bits] radix sort with two much cheaper sorts.
+    order = jnp.argsort(g.depth, stable=True).astype(jnp.int32)
+    # Pack (rx0, ry0, rect_width) into one int32 so the per-pair expansion needs a
+    # single gather (TPU gathers are the expensive primitive here). 10 bits each is
+    # enough for <= 1023 tiles per axis (16k x 16k pixels).
+    rect_code_all = (
+        g.rect_min[:, 0]
+        | (g.rect_min[:, 1] << 10)
+        | ((g.rect_max[:, 0] - g.rect_min[:, 0]) << 20)
+    ).astype(jnp.int32)
+    touched = g.tiles_touched.astype(jnp.int32)[order]
+    rect_code = rect_code_all[order]
+
     offsets = jnp.cumsum(touched) - touched  # exclusive prefix sum
     total = offsets[-1] + touched[-1]
 
     p = jnp.arange(max_pairs, dtype=jnp.int32)
-    gi = jnp.clip(jnp.searchsorted(offsets, p, side="right").astype(jnp.int32) - 1, 0, n - 1)
+    gi = jnp.clip(
+        jnp.searchsorted(offsets, p, side="right", method="sort").astype(jnp.int32) - 1, 0, n - 1
+    )  # method="sort": the default binary-search lowering is ~10x slower on TPU
     k = p - offsets[gi]
-    rw = (g.rect_max[gi, 0] - g.rect_min[gi, 0]).astype(jnp.int32)
-    rw_safe = jnp.maximum(rw, 1)
+    code = rect_code[gi]
+    rx0 = code & 0x3FF
+    ry0 = (code >> 10) & 0x3FF
+    rw_safe = jnp.maximum(code >> 20, 1)
     dy = k // rw_safe
     dx = k - dy * rw_safe
-    tile = (g.rect_min[gi, 1] + dy) * grid_x + (g.rect_min[gi, 0] + dx)
+    tile = (ry0 + dy) * grid_x + (rx0 + dx)
     valid = p < total
     tile = jnp.where(valid, tile, n_tiles)  # sentinel sorts to the end
 
-    depth = jnp.where(valid, g.depth[gi], jnp.inf)
-    tile_s, _, gi_s, valid_s = jax.lax.sort(
-        (tile, depth, gi, valid), num_keys=2, is_stable=True
-    )
+    tile_s, gi_s = jax.lax.sort((tile, gi), num_keys=1, is_stable=True)
+    # gi_s stays in DEPTH-RANK space; gather_pair_data permutes the source instead
+    # (one [N]-sized gather beats a [max_pairs]-sized one).
 
-    # Per-tile [start, end) in the compact sorted order.
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
-    counts = seg_end - seg_start
+    # Per-tile [start, end) in the compact sorted order: segments are contiguous, so
+    # one searchsorted over T+1 boundaries gives both starts and counts.
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
+    seg_start = bounds[:-1]
+    counts = bounds[1:] - seg_start
 
     # G-aligned destination segments.
     padded_counts = ((counts + chunk - 1) // chunk) * chunk
     aligned_start = jnp.cumsum(padded_counts) - padded_counts
     num_padded = aligned_start[-1] + padded_counts[-1]
 
+    # dest = aligned_start[t] + (p - seg_start[t]): one gather of the delta.
+    delta = aligned_start - seg_start
     in_range = tile_s < n_tiles
-    rank = jnp.arange(max_pairs, dtype=jnp.int32) - seg_start[jnp.minimum(tile_s, n_tiles - 1)]
     dest = jnp.where(
-        in_range, aligned_start[jnp.minimum(tile_s, n_tiles - 1)] + rank, cap
+        in_range,
+        jnp.arange(max_pairs, dtype=jnp.int32) + delta[jnp.minimum(tile_s, n_tiles - 1)],
+        cap,
     )  # out-of-range dests are dropped by scatter
 
     gauss_idx = jnp.full((cap,), n, dtype=jnp.int32)
@@ -95,6 +119,7 @@ def bin_gaussians(
 
     return BinnedPairs(
         gauss_idx=gauss_idx,
+        depth_order=order,
         pair_valid=pair_valid,
         tile_start=aligned_start,
         tile_count=counts,
@@ -105,26 +130,22 @@ def bin_gaussians(
 
 
 def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> jnp.ndarray:
-    """Differentiable gather of per-pair blend data [cap, fields].
+    """Differentiable gather of per-pair blend data, SoA layout [fields, cap].
 
-    Field layout (consumed by the blend kernels):
+    Field rows (consumed by the blend kernels):
       0: mean2d.x  1: mean2d.y  2: conic.A  3: conic.B  4: conic.C  5: opacity
       6..6+C: features (RGB or depth-as-color)  rest: zero padding.
     Padding slots are zeroed (opacity 0 => no contribution, no gradient).
+    SoA keeps Pallas HBM DMA slices [fields, chunk] lane-aligned (chunk % 128 == 0).
     """
     idx = jnp.minimum(binned.gauss_idx, g.mean2d.shape[0] - 1)
     c = g.color.shape[-1]
-    data = jnp.concatenate(
-        [
-            g.mean2d[idx],
-            g.conic[idx],
-            g.opacity[idx, None],
-            g.color[idx],
-        ],
-        axis=-1,
-    )
-    pad = fields - data.shape[-1]
-    assert pad >= 0, f"fields={fields} too small for C={c}"
-    if pad:
-        data = jnp.pad(data, ((0, 0), (0, pad)))
-    return jnp.where(binned.pair_valid[:, None], data, 0.0)
+    src = jnp.concatenate(
+        [g.mean2d, g.conic, g.opacity[:, None], g.color], axis=-1
+    )  # [N, 6+C] — built once so the hot path is a SINGLE wide row gather
+    assert fields >= src.shape[-1], f"fields={fields} too small for C={c}"
+    if fields > src.shape[-1]:
+        src = jnp.pad(src, ((0, 0), (0, fields - src.shape[-1])))
+    src = src[binned.depth_order]  # pair slots index in depth-rank space
+    data = src[idx].T  # [fields, cap]
+    return jnp.where(binned.pair_valid[None, :], data, 0.0)

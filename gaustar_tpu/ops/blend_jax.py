@@ -40,7 +40,7 @@ def tile_pixel_coords(grid_x: int, grid_y: int):
 
 
 def blend_tiles_jax(
-    pair_data: jnp.ndarray,  # [cap, F]
+    pair_data: jnp.ndarray,  # [F, cap] (SoA, see binning.gather_pair_data)
     binned: BinnedPairs,
     grid_x: int,
     grid_y: int,
@@ -50,13 +50,13 @@ def blend_tiles_jax(
     """Dense per-tile blend. `max_per_tile` is the static per-tile pair capacity:
     tiles with more pairs are truncated (report via binned counts; raise capacity)."""
     n_tiles = grid_x * grid_y
-    cap = pair_data.shape[0]
+    cap = pair_data.shape[1]
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
     idx = binned.tile_start[:, None] + k[None, :]  # [T, K]
     in_seg = k[None, :] < jnp.minimum(binned.tile_count[:, None], max_per_tile)
     idx = jnp.minimum(idx, cap - 1)
-    sub = pair_data[idx]  # [T, K, F] differentiable gather
+    sub = pair_data.T[idx]  # [T, K, F] differentiable gather
     sub = jnp.where(in_seg[..., None], sub, 0.0)
 
     pix = tile_pixel_coords(grid_x, grid_y)  # [T, P, 2]

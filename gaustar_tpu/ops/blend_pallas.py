@@ -1,0 +1,447 @@
+"""Pallas TPU blend kernels — the hot path of the rasterizer.
+
+TPU re-architecture of renderCUDA forward (cuda_rasterizer/forward.cu:261-374) and
+backward (backward.cu:400-557). Key design mapping:
+
+  CUDA                                  TPU (this file)
+  ----------------------------------    ------------------------------------------
+  one 16x16 thread block per tile       one grid step per tile (sequential grid,
+                                        DMA-pipelined by Mosaic)
+  shared-memory batch of 256 pairs      VMEM chunk of `chunk` pairs DMA'd from the
+                                        G-aligned segment produced by binning.py
+  per-pixel sequential blend loop       closed-form chunk blend on the VPU:
+                                        [PIX=256 pixels (sublanes), chunk pairs
+                                        (lanes)] alphas; transmittance via a
+                                        Hillis-Steele cumulative product along the
+                                        pair (lane) axis (log2(chunk) roll+mul
+                                        steps); sticky 1e-4 early-stop via a
+                                        cumulative max of stop flags
+  __syncthreads_count(done) early out   `while_loop` over chunks, exits when every
+                                        pixel's transmittance is done
+  atomicAdd per-gaussian gradients      per-PAIR gradients (each sorted pair slot is
+                                        unique -> no atomics); the jnp gather that
+                                        built pair_data scatter-adds them back to
+                                        gaussians deterministically in its VJP
+  back-to-front re-walk with T/(1-a)    reverse chunk loop; in-chunk suffix
+                                        products/sums give T_i and the accumulated
+                                        color behind each pair in closed form
+
+The backward walks only `ceil(max n_contrib / chunk)` chunks per tile (the CUDA
+backward's `contributor >= last_contributor` skip, lifted to whole chunks).
+
+Memory layout: pair data is SoA [NFIELDS, cap] so HBM DMA slices are [16, chunk]
+with the sliced (lane) dimension 128-aligned — Mosaic's HBM tiling constraint.
+Fields (see binning.gather_pair_data):
+  0 x, 1 y, 2 A, 3 B, 4 C, 5 opacity, 6..8 rgb features, 9..15 zero.
+`chunk` must be a multiple of 128 for compiled TPU execution (any multiple of 8
+works in interpret mode, which the CPU tests use).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaustar_tpu.ops.projection import TILE
+
+PIX = TILE * TILE  # 256 pixels per tile = 2 x 128 lanes
+NFIELDS = 16
+
+
+def _roll(x, shift, axis):
+    try:
+        return pltpu.roll(x, shift, axis)
+    except Exception:
+        return jnp.roll(x, shift, axis)
+
+
+def _scan_mul_incl(x):
+    """Inclusive cumulative product along axis 1 (Hillis-Steele, log2 n steps)."""
+    n = x.shape[1]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = x * jnp.where(idx >= k, _roll(x, k, 1), 1.0)
+        k <<= 1
+    return x
+
+
+def _scan_max_incl(x):
+    n = x.shape[1]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = jnp.maximum(x, jnp.where(idx >= k, _roll(x, k, 1), 0.0))
+        k <<= 1
+    return x
+
+
+def _suffix_mul_incl(x):
+    """sp_i = prod_{j >= i} x_j along axis 1."""
+    n = x.shape[1]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = x * jnp.where(idx < n - k, _roll(x, -k, 1), 1.0)
+        k <<= 1
+    return x
+
+
+def _suffix_sum_incl(x):
+    n = x.shape[1]
+    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = x + jnp.where(idx < n - k, _roll(x, -k, 1), 0.0)
+        k <<= 1
+    return x
+
+
+def _pixel_coords(t, grid_x):
+    """Tile pixel coordinate COLUMNS [PIX, 1] (row-major within the tile)."""
+    flat = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    tx = t % grid_x
+    ty = t // grid_x
+    px = (tx * TILE + flat % TILE).astype(jnp.float32)
+    py = (ty * TILE + flat // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alphas(d, px, py):
+    """Per-(pixel, pair) raw alphas and masks for one chunk (forward.cu:328-345).
+
+    d: [NFIELDS, chunk]; px/py: [PIX, 1]. Returns [PIX, chunk] arrays.
+    """
+    x, y = d[0:1, :], d[1:2, :]
+    A, B, C = d[2:3, :], d[3:4, :], d[4:5, :]
+    op = d[5:6, :]
+    dx = x - px
+    dy = y - py
+    power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+    g_exp = jnp.exp(power)
+    araw = jnp.minimum(0.99, op * g_exp)
+    contrib = (power <= 0.0) & (araw >= 1.0 / 255.0)
+    a0 = jnp.where(contrib, araw, 0.0)
+    return a0, contrib, g_exp, dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    start_ref, nchunks_ref, pair_hbm, out_ref, buf, state, sem, *, grid_x, width, height, chunk
+):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    nch = nchunks_ref[t]
+    px, py = _pixel_coords(t, grid_x)
+    outside = (px >= width) | (py >= height)
+
+    # Per-pixel state lives in a VMEM scratch buffer (not loop carries) so every
+    # iteration sees canonical vector layouts: cols 0-2 color, 3 T, 4 n_contrib,
+    # 5 done flag, 6-7 zero.
+    state[:, 0:3] = jnp.zeros((PIX, 3), jnp.float32)
+    state[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+    state[:, 4:5] = jnp.zeros((PIX, 1), jnp.float32)
+    state[:, 5:6] = outside.astype(jnp.float32)
+    state[:, 6:8] = jnp.zeros((PIX, 2), jnp.float32)
+
+    def cond(c):
+        i, alldone = c
+        return (i < nch) & jnp.logical_not(alldone)
+
+    def body(c):
+        i, _ = c
+        off = pl.multiple_of(start + i * chunk, chunk)
+        cp = pltpu.make_async_copy(pair_hbm.at[:, pl.ds(off, chunk)], buf, sem)
+        cp.start()
+        cp.wait()
+        d = buf[:, :]
+        T = state[:, 3:4]
+        done = state[:, 5:6] > 0.0
+        a0, contrib, _, _, _ = _chunk_alphas(d, px, py)
+        notdone = jnp.logical_not(done)
+
+        om0 = 1.0 - a0
+        t_incl = T * _scan_mul_incl(om0)  # T after i assuming all contribute
+        flag = contrib & (t_incl < 1e-4) & notdone
+        stopped = _scan_max_incl(flag.astype(jnp.float32)) > 0.0
+        included = contrib & jnp.logical_not(stopped) & notdone
+        a = jnp.where(included, a0, 0.0)
+        om = 1.0 - a
+        cp2 = _scan_mul_incl(om)
+        t_before = T * cp2 / om  # exclusive prefix (om >= 0.01 where a > 0)
+        w = a * t_before  # [PIX, chunk]
+        for ch in range(3):
+            state[:, ch : ch + 1] += jnp.sum(d[6 + ch : 7 + ch, :] * w, axis=1, keepdims=True)
+        pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a.shape, 1)).astype(jnp.float32)
+        state[:, 4:5] = jnp.maximum(
+            state[:, 4:5], jnp.max(jnp.where(included, pos, 0.0), axis=1, keepdims=True)
+        )
+        state[:, 3:4] = T * cp2[:, chunk - 1 : chunk]  # full-chunk product
+        done_new = jnp.maximum(
+            state[:, 5:6], jnp.max(flag.astype(jnp.float32), axis=1, keepdims=True)
+        )
+        state[:, 5:6] = done_new
+        return (i + 1, jnp.all(done_new > 0.0))
+
+    lax.while_loop(cond, body, (jnp.int32(0), jnp.all(outside)))
+    out_ref[0] = state[:, :].T  # [8, PIX]
+
+
+def _blend_fwd_raw(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, interpret):
+    n_tiles = grid_x * grid_y
+    kernel = functools.partial(
+        _fwd_kernel, grid_x=grid_x, width=width, height=height, chunk=chunk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((NFIELDS, chunk), jnp.float32),
+                pltpu.VMEM((PIX, 8), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
+        interpret=interpret,
+    )(tile_start, tile_nchunks, pair_data)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    start_ref,
+    used_ref,
+    pair_hbm,
+    fwd_ref,
+    dout_ref,
+    grads_hbm,
+    buf,
+    gbuf,
+    acc,
+    sem_in,
+    sem_out,
+    *,
+    grid_x,
+    chunk,
+):
+    t = pl.program_id(0)
+    start = start_ref[t]
+    used = used_ref[t]
+    px, py = _pixel_coords(t, grid_x)
+
+    fstate = fwd_ref[0].T  # [PIX, 8]
+    dstate = dout_ref[0].T  # [PIX, 8]
+    t_final = fstate[:, 3:4]
+    n_c = fstate[:, 4:5]
+    dC = dstate[:, 0:3]
+    dT = dstate[:, 3:4]
+
+    # Reverse-walk accumulators in VMEM scratch (canonical layouts across the
+    # loop): col 0 = P_after (product of (1-a) behind the cursor), 1-3 = S_after
+    # (accumulated weighted color behind the cursor).
+    acc[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+    acc[:, 1:4] = jnp.zeros((PIX, 3), jnp.float32)
+
+    def body(j, _):
+        i = used - 1 - j
+        off = pl.multiple_of(start + i * chunk, chunk)
+        cp = pltpu.make_async_copy(pair_hbm.at[:, pl.ds(off, chunk)], buf, sem_in)
+        cp.start()
+        cp.wait()
+        d = buf[:, :]
+        p_after = acc[:, 0:1]
+        a0, contrib, g_exp, dx, dy = _chunk_alphas(d, px, py)
+        pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a0.shape, 1)).astype(jnp.float32)
+        included = contrib & (pos <= n_c)  # CUDA: contributor >= last_contributor -> skip
+        a = jnp.where(included, a0, 0.0)
+        om = 1.0 - a
+
+        sp = _suffix_mul_incl(om)  # prod_{j>=i} within chunk
+        t_i = t_final / (sp * p_after)  # transmittance before pair i
+        w = a * t_i
+
+        dL_da = -(t_final / om) * dT
+        g_rgb = []
+        for ch in range(3):
+            c_ch = d[6 + ch : 7 + ch, :]
+            wc = w * c_ch
+            s_ge = _suffix_sum_incl(wc)
+            s_gt = s_ge - wc + acc[:, 1 + ch : 2 + ch]
+            dL_da = dL_da + (c_ch * t_i - s_gt / om) * dC[:, ch : ch + 1]
+            g_rgb.append(jnp.sum(w * dC[:, ch : ch + 1], axis=0, keepdims=True))
+            acc[:, 1 + ch : 2 + ch] += jnp.sum(wc, axis=1, keepdims=True)
+        dL_da = jnp.where(included, dL_da, 0.0)
+
+        op = d[5:6, :]
+        dG = op * dL_da  # d alpha / d G ignores the 0.99 clamp, like backward.cu:503
+        gg = dG * g_exp
+        g_x = jnp.sum(-gg * (d[2:3, :] * dx + d[3:4, :] * dy), axis=0, keepdims=True)
+        g_y = jnp.sum(-gg * (d[4:5, :] * dy + d[3:4, :] * dx), axis=0, keepdims=True)
+        g_A = jnp.sum(-0.5 * g_exp * dx * dx * dG, axis=0, keepdims=True)
+        g_B = jnp.sum(-g_exp * dx * dy * dG, axis=0, keepdims=True)
+        g_C = jnp.sum(-0.5 * g_exp * dy * dy * dG, axis=0, keepdims=True)
+        g_op = jnp.sum(g_exp * dL_da, axis=0, keepdims=True)
+
+        zeros = jnp.zeros((1, chunk), jnp.float32)
+        gbuf[:, :] = jnp.concatenate(
+            [g_x, g_y, g_A, g_B, g_C, g_op] + g_rgb + [zeros] * (NFIELDS - 9), axis=0
+        )
+        wr = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(off, chunk)], sem_out)
+        wr.start()
+        wr.wait()
+
+        acc[:, 0:1] = p_after * sp[:, 0:1]  # full-chunk product
+        return 0
+
+    lax.fori_loop(0, used, body, 0)
+
+
+def _blend_bwd_raw(
+    pair_data, tile_start, tile_used, fwd_out, dout, grid_x, grid_y, chunk, interpret
+):
+    n_tiles = grid_x * grid_y
+    cap = pair_data.shape[1]
+    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk)
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((NFIELDS, chunk), jnp.float32),
+                pltpu.VMEM((NFIELDS, chunk), jnp.float32),
+                pltpu.VMEM((PIX, 8), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NFIELDS, cap), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_used, pair_data, fwd_out, dout)
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# custom VJP wrapper
+# ---------------------------------------------------------------------------
+
+
+def _auto_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def blend_tiles_pallas(
+    pair_data,
+    tile_start,
+    tile_nchunks,
+    grid_x: int,
+    grid_y: int,
+    width: int,
+    height: int,
+    chunk: int = 256,
+    channels: int = 3,
+    interpret: bool | None = None,
+):
+    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, 3, PIX],
+    final_T [T, PIX], n_contrib [T, PIX] int32). Differentiable in pair_data only."""
+    out, _ = _fwd_impl(
+        pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret
+    )
+    return out
+
+
+def _fwd_impl(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret):
+    assert channels == 3, "pallas blend is specialized to 3 channels (config.h:15)"
+    raw = _blend_fwd_raw(
+        pair_data,
+        tile_start.astype(jnp.int32),
+        tile_nchunks.astype(jnp.int32),
+        grid_x,
+        grid_y,
+        width,
+        height,
+        chunk,
+        _auto_interpret(interpret),
+    )
+    color = raw[:, 0:3, :]
+    final_t = raw[:, 3, :]
+    ncontrib = raw[:, 4, :].astype(jnp.int32)
+    return (color, final_t, ncontrib), raw
+
+
+def _blend_fwd_rule(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret):
+    out, raw = _fwd_impl(
+        pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret
+    )
+    return out, (pair_data, tile_start, tile_nchunks, raw)
+
+
+def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res, cts):
+    pair_data, tile_start, tile_nchunks, raw = res
+    d_color, d_final_t, _ = cts
+    dout = jnp.concatenate(
+        [d_color, d_final_t[:, None, :], jnp.zeros_like(raw[:, 4:8, :])], axis=1
+    )
+    # Backward only needs chunks up to the last contributor in each tile.
+    max_nc = jnp.max(raw[:, 4, :], axis=1)
+    tile_used = jnp.minimum(
+        jnp.ceil(max_nc / chunk).astype(jnp.int32), tile_nchunks.astype(jnp.int32)
+    )
+    grads = _blend_bwd_raw(
+        pair_data,
+        tile_start.astype(jnp.int32),
+        tile_used,
+        raw,
+        dout,
+        grid_x,
+        grid_y,
+        chunk,
+        _auto_interpret(interpret),
+    )
+    # Zero the slots the kernel never wrote (tiles' unused chunks + padding).
+    cap = pair_data.shape[1]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    pair_tile = jnp.clip(
+        jnp.searchsorted(
+            tile_start.astype(jnp.int32), slot, side="right", method="sort"
+        ).astype(jnp.int32)
+        - 1,
+        0,
+        grid_x * grid_y - 1,
+    )
+    written = (slot - tile_start[pair_tile]) < tile_used[pair_tile] * chunk
+    grads = jnp.where(written[None, :], grads, 0.0)
+    d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
+    d_tn = np.zeros(tile_nchunks.shape, jax.dtypes.float0)
+    return grads, d_ts, d_tn
+
+
+blend_tiles_pallas.defvjp(_blend_fwd_rule, _blend_bwd_rule)

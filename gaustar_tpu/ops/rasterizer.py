@@ -95,17 +95,18 @@ def rasterize(
     elif impl == "pallas":
         from gaustar_tpu.ops.blend_pallas import blend_tiles_pallas
 
-        color_t, final_t_t, ncontrib_t = blend_tiles_pallas(
+        color_cp, final_t_t, ncontrib_t = blend_tiles_pallas(
             pair_data,
             binned.tile_start,
             binned.tile_nchunks,
-            grid_x=grid_x,
-            grid_y=grid_y,
-            width=W,
-            height=H,
-            chunk=config.chunk,
-            channels=config.channels,
+            grid_x,
+            grid_y,
+            W,
+            H,
+            config.chunk,
+            config.channels,
         )
+        color_t = color_cp.transpose(0, 2, 1)  # [T, C, P] -> [T, P, C]
     else:
         raise ValueError(f"unknown rasterizer impl: {impl}")
 
