@@ -159,7 +159,10 @@ def stack_cameras(cams: list[Camera]) -> Camera:
     """Stack same-resolution cameras into one batched Camera (leading axis N)."""
     w, h = cams[0].width, cams[0].height
     assert all(c.width == w and c.height == h for c in cams), "stack requires equal sizes"
-    leaves = [np.stack([np.asarray(getattr(c, f)) for c in cams]) for f in ("R", "T", "fx", "fy", "cx", "cy")]
+    leaves = [
+        jnp.asarray(np.stack([np.asarray(getattr(c, f), np.float32) for c in cams]))
+        for f in ("R", "T", "fx", "fy", "cx", "cy")
+    ]  # device arrays so index_camera works with traced indices
     return Camera(*leaves, width=w, height=h, znear=cams[0].znear, zfar=cams[0].zfar)
 
 

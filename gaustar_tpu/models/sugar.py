@@ -1,0 +1,336 @@
+"""SuGaR: mesh-bound Gaussian parametrization (the heart of GauSTAR).
+
+TPU re-design of /root/reference/gaustar_scene/sugar_model.py:83-1437 as a pure
+pytree of arrays + jittable functions (no nn.Module state):
+
+  - each triangle hosts `n_gaussians_per_face` Gaussians at fixed barycentric
+    coordinates (sugar_model.py:186-226; tables replicated exactly);
+  - 2 learnable in-plane log-scales, clamped to [min,max]_gaussian_scale; the 3rd
+    axis is the constant surface thickness (sugar_model.py:457-476);
+  - rotation = face frame (normal, first-edge, normal x edge) spun in-plane by a
+    learnable normalized 2D complex number (sugar_model.py:478-508);
+  - opacity logits ("all_densities") -> sigmoid "strengths" (init 0.1);
+  - SH color per gaussian, dc initialized from barycentric vertex colors;
+  - loose-bind ("unbinding"): extra delta_t translation + delta_r quaternion per
+    gaussian, applied when `loose_bind` is on (sugar_model.py:432-433, 503-505) —
+    GauSTAR's key addition over SuGaR;
+  - MESH VERTICES ARE LEARNABLE — rendering gradients flow to the surface.
+
+The covariance is assembled directly from the face frame, Sigma = U diag(s^2) U^T
+with U's columns the gaussian axes — numerically identical to the reference's
+frame -> matrix_to_quaternion -> (rasterizer) quaternion -> matrix roundtrip, but
+without the roundtrip. `quaternions()` is still provided for 3DGS export parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaustar_tpu.cameras import Camera
+from gaustar_tpu.ops import sh as sh_ops
+from gaustar_tpu.ops.rasterizer import RasterConfig, rasterize
+from gaustar_tpu.utils.general import inverse_sigmoid, matrix_to_quaternion, normalize, quaternion_to_matrix
+
+_SQRT3 = float(np.sqrt(3.0))
+
+# Barycentric tables — sugar_model.py:190-226, bit-exact.
+BARY_TABLES = {
+    1: (1.0 / (2.0 * _SQRT3), [[1 / 3, 1 / 3, 1 / 3]]),
+    3: (
+        1.0 / (2.0 * (_SQRT3 + 1.0)),
+        [[1 / 2, 1 / 4, 1 / 4], [1 / 4, 1 / 2, 1 / 4], [1 / 4, 1 / 4, 1 / 2]],
+    ),
+    4: (
+        1.0 / (4.0 * _SQRT3),
+        [
+            [1 / 3, 1 / 3, 1 / 3],
+            [2 / 3, 1 / 6, 1 / 6],
+            [1 / 6, 2 / 3, 1 / 6],
+            [1 / 6, 1 / 6, 2 / 3],
+        ],
+    ),
+    6: (
+        1.0 / (4.0 + 2.0 * _SQRT3),
+        [
+            [2 / 3, 1 / 6, 1 / 6],
+            [1 / 6, 2 / 3, 1 / 6],
+            [1 / 6, 1 / 6, 2 / 3],
+            [1 / 6, 5 / 12, 5 / 12],
+            [5 / 12, 1 / 6, 5 / 12],
+            [5 / 12, 5 / 12, 1 / 6],
+        ],
+    ),
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SuGaRParams:
+    """Learnable leaves (optimizer param groups mirror sugar_optimizer.py:67-87)."""
+
+    points: Any  # [V, 3] mesh vertices
+    scales: Any  # [N, 2] log in-plane scales
+    complex2d: Any  # [N, 2] in-plane rotation as complex number (reference `_quaternions`)
+    densities: Any  # [N, 1] opacity logits
+    sh_dc: Any  # [N, 1, 3]
+    sh_rest: Any  # [N, K-1, 3]
+    delta_t: Any  # [N, 3] loose-bind translation
+    delta_r: Any  # [N, 4] loose-bind quaternion (w-first, init identity)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SuGaRConfig:
+    faces: Any  # [F, 3] int32 (non-learnable leaf)
+    bary: Any  # [n_g, 3] barycentric table
+    thickness: Any  # [] surface_mesh_thickness
+    n_gaussians_per_face: int = dataclasses.field(metadata=dict(static=True))
+    sh_levels: int = dataclasses.field(metadata=dict(static=True))
+    min_scale: float | None = dataclasses.field(metadata=dict(static=True))
+    max_scale: float | None = dataclasses.field(metadata=dict(static=True))
+    loose_bind: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+
+def init_sugar(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    vertex_colors: np.ndarray | None = None,
+    n_gaussians_per_face: int = 6,
+    sh_levels: int = 3,
+    thickness: float = 1e-6,
+    min_scale: float | None = None,
+    max_scale: float | None = None,
+    colors: np.ndarray | None = None,
+) -> tuple[SuGaRParams, SuGaRConfig]:
+    """Bind a gaussian cloud to a mesh (sugar_model.py:164-404 init path)."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    circle_radius, bary = BARY_TABLES[n_gaussians_per_face]
+    bary = np.asarray(bary, np.float32)
+    f = len(faces)
+    n = f * n_gaussians_per_face
+
+    faces_verts = verts[faces]  # [F, 3, 3]
+    # Initial in-plane scale: min edge length * inscribed-circle radius factor
+    # (sugar_model.py:361-366).
+    edge_len = np.linalg.norm(faces_verts - faces_verts[:, [1, 2, 0]], axis=-1)
+    s0 = np.clip(edge_len.min(axis=-1) * circle_radius, 1e-7, None)
+    scales = np.log(np.repeat(s0, n_gaussians_per_face))[:, None].repeat(2, 1).astype(np.float32)
+
+    complex2d = np.zeros((n, 2), np.float32)
+    complex2d[:, 0] = 1.0
+
+    densities = np.asarray(inverse_sigmoid(0.1 * np.ones((n, 1), np.float32)))
+
+    if colors is None:
+        if vertex_colors is None:
+            vertex_colors = np.full((len(verts), 3), 0.5, np.float32)
+        face_colors = np.asarray(vertex_colors, np.float32)[faces]  # [F, 3, 3]
+        colors = (face_colors[:, None] * bary[None, :, :, None]).sum(axis=2).reshape(n, 3)
+    sh_dc = np.asarray(sh_ops.rgb_to_sh(colors))[:, None, :].astype(np.float32)
+    sh_rest = np.zeros((n, sh_levels**2 - 1, 3), np.float32)
+
+    delta_t = np.zeros((n, 3), np.float32)
+    delta_r = np.zeros((n, 4), np.float32)
+    delta_r[:, 0] = 1.0
+
+    params = SuGaRParams(
+        points=jnp.asarray(verts),
+        scales=jnp.asarray(scales),
+        complex2d=jnp.asarray(complex2d),
+        densities=jnp.asarray(densities),
+        sh_dc=jnp.asarray(sh_dc),
+        sh_rest=jnp.asarray(sh_rest),
+        delta_t=jnp.asarray(delta_t),
+        delta_r=jnp.asarray(delta_r),
+    )
+    config = SuGaRConfig(
+        faces=jnp.asarray(faces),
+        bary=jnp.asarray(bary),
+        thickness=jnp.asarray(thickness, jnp.float32),
+        n_gaussians_per_face=n_gaussians_per_face,
+        sh_levels=sh_levels,
+        min_scale=min_scale,
+        max_scale=max_scale,
+    )
+    return params, config
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities (the reference's properties, as pure functions)
+# ---------------------------------------------------------------------------
+
+
+def n_gaussians(params: SuGaRParams) -> int:
+    return params.scales.shape[0]
+
+
+def gaussian_centers(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
+    """Barycentric gaussian centers (+delta_t when loose) — `points` property
+    (sugar_model.py:417-435)."""
+    faces_verts = params.points[config.faces]  # [F, 3, 3]
+    pts = (faces_verts[:, None] * config.bary[None, :, :, None]).sum(axis=2)
+    pts = pts.reshape(-1, 3)
+    if config.loose_bind:
+        pts = pts + params.delta_t
+    return pts
+
+
+def strengths(params: SuGaRParams) -> jnp.ndarray:
+    return jax.nn.sigmoid(params.densities.reshape(-1))
+
+
+def scaling(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
+    """[N, 3] = (thickness, s1, s2) — `scaling` property (sugar_model.py:457-476)."""
+    plane = jnp.exp(params.scales)
+    if config.max_scale is not None:
+        plane = jnp.minimum(plane, config.max_scale)
+    if config.min_scale is not None:
+        plane = jnp.maximum(plane, config.min_scale)
+    thick = jnp.broadcast_to(config.thickness, (plane.shape[0], 1))
+    return jnp.concatenate([thick, plane], axis=-1)
+
+
+def gaussian_frames(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
+    """[N, 3, 3] rotation with COLUMNS (normal, in-plane-1, in-plane-2) —
+    `quaternions` property minus the quaternion roundtrip (sugar_model.py:478-508)."""
+    faces_verts = params.points[config.faces]
+    e1 = faces_verts[:, 1] - faces_verts[:, 0]
+    e2 = faces_verts[:, 2] - faces_verts[:, 0]
+    r0 = normalize(jnp.cross(e1, e2))  # face normal (pytorch3d convention: (v1-v0)x(v2-v0))
+    base_r1 = normalize(faces_verts[:, 0] - faces_verts[:, 1])
+    base_r2 = normalize(jnp.cross(r0, base_r1))
+
+    ng = config.n_gaussians_per_face
+    c = normalize(params.complex2d).reshape(-1, ng, 2)
+    r1 = c[..., 0:1] * base_r1[:, None] + c[..., 1:2] * base_r2[:, None]
+    r2 = -c[..., 1:2] * base_r1[:, None] + c[..., 0:1] * base_r2[:, None]
+    r0 = jnp.broadcast_to(r0[:, None], r1.shape)
+    R = jnp.stack([r0, r1, r2], axis=-1).reshape(-1, 3, 3)  # columns
+
+    if config.loose_bind:
+        dr = quaternion_to_matrix(normalize(params.delta_r))
+        R = dr @ R
+    return R
+
+
+def quaternions(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
+    """Normalized w-first quaternions (for export/parity; sugar_model.py:506-508)."""
+    return matrix_to_quaternion(gaussian_frames(params, config))
+
+
+def cov3d(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
+    """Packed world covariance [N, 6] (xx, xy, xz, yy, yz, zz): Sigma = U S^2 U^T."""
+    U = gaussian_frames(params, config)
+    s2 = scaling(params, config) ** 2  # [N, 3]
+    M = U * s2[:, None, :]  # scale columns
+    S = M @ U.transpose(0, 2, 1)  # [N, 3, 3] symmetric
+    return jnp.stack(
+        [S[:, 0, 0], S[:, 0, 1], S[:, 0, 2], S[:, 1, 1], S[:, 1, 2], S[:, 2, 2]], axis=-1
+    )
+
+
+def sh_coordinates(params: SuGaRParams) -> jnp.ndarray:
+    return jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
+
+
+def points_rgb(params: SuGaRParams, positions, camera_center, sh_deg: int) -> jnp.ndarray:
+    """Python-side SH color eval — get_points_rgb (sugar_model.py:674-718):
+    clamp_min(eval_sh + 0.5, 0)."""
+    shc = sh_coordinates(params)[:, : (sh_deg + 1) ** 2]
+    return sh_ops.sh_to_rgb(sh_deg, shc, positions, camera_center)
+
+
+def surface_mesh(params: SuGaRParams, config: SuGaRConfig):
+    return params.points, config.faces
+
+
+def loose_bound(params: SuGaRParams, config: SuGaRConfig) -> tuple[SuGaRParams, SuGaRConfig]:
+    """Enable unbinding (sugar_model.py:596-599 loose_bind)."""
+    return params, dataclasses.replace(config, loose_bind=True)
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+
+def render(
+    params: SuGaRParams,
+    config: SuGaRConfig,
+    camera: Camera,
+    bg=(0.0, 0.0, 0.0),
+    sh_deg: int | None = None,
+    raster_config: RasterConfig = RasterConfig(),
+    point_colors: jnp.ndarray | None = None,
+    use_solid_surface: bool = False,
+    means2d_dummy: jnp.ndarray | None = None,
+):
+    """Render an image — render_image_gaussian_rasterizer (sugar_model.py:1065-1311),
+    default path: compute_color_in_rasterizer=False (SH evaluated here),
+    compute_covariance_in_rasterizer=True (covariance from scales+frames).
+
+    `point_colors` overrides the per-gaussian features (depth-as-color trick,
+    refine.py:599-632). `use_solid_surface` raises small in-plane scales to their
+    mean so the surface renders opaque (sugar_model.py:1230-1232)."""
+    if sh_deg is None:
+        sh_deg = config.sh_levels - 1
+    positions = gaussian_centers(params, config)
+    if point_colors is None:
+        colors = points_rgb(params, positions, camera.camera_center, sh_deg)
+    else:
+        colors = point_colors
+
+    U = gaussian_frames(params, config)
+    s = scaling(params, config)
+    if use_solid_surface:
+        mean_scale = s[:, 1:].mean()
+        s = jnp.concatenate([s[:, :1], jnp.maximum(s[:, 1:], mean_scale)], axis=-1)
+    s2 = s**2
+    M = U * s2[:, None, :]
+    S = M @ U.transpose(0, 2, 1)
+    cov = jnp.stack(
+        [S[:, 0, 0], S[:, 0, 1], S[:, 0, 2], S[:, 1, 1], S[:, 1, 2], S[:, 2, 2]], axis=-1
+    )
+
+    return rasterize(
+        positions,
+        cov,
+        strengths(params),
+        colors,
+        camera,
+        bg=bg,
+        config=raster_config,
+        means2d_dummy=means2d_dummy,
+    )
+
+
+def render_depth(
+    params: SuGaRParams,
+    config: SuGaRConfig,
+    camera: Camera,
+    max_depth: float = 10.0,
+    raster_config: RasterConfig = RasterConfig(),
+    use_solid_surface: bool = False,
+):
+    """Depth render via the point_colors channel trick (refine.py:599-632):
+    per-gaussian view-space z blended as color, background = max_depth."""
+    positions = gaussian_centers(params, config)
+    view = camera.view
+    z = positions @ view[2, :3] + view[2, 3]
+    point_depth = jnp.broadcast_to(z[:, None], (z.shape[0], 3))
+    img, aux = render(
+        params,
+        config,
+        camera,
+        bg=(max_depth, max_depth, max_depth),
+        raster_config=raster_config,
+        point_colors=point_depth,
+        use_solid_surface=use_solid_surface,
+    )
+    return img[..., 0], aux

@@ -1,0 +1,349 @@
+"""Per-frame refinement loop — the hot training loop of GauSTAR.
+
+TPU re-design of gaustar_trainers/refine.py:39-866: the full loss stack of one
+iteration is a single jitted function (rendered twice: RGB + depth-as-color),
+the host loop only shuffles cameras and handles the one-time unbind event.
+
+Loss stack (refine.py:584-748, weights from opti_config :24-37 and
+train_seq.py:107-118):
+  rgb      0.8*L1 + 0.2*DSSIM on margin-cropped images, green bg (refine.py:456)
+  depth    0.1 * L1 on foreground (gt_depth < max_depth), 2nd rasterizer pass
+           with view-space z as color, bg = max_depth
+  mask     1.0 * L1 pulling background rendered depth to max_depth
+  sh_reg   1.0 * L2 between current and previous-frame dc SH (if enabled)
+  nc       0.5 * mesh normal consistency
+  edge_iso factor * (edge_len - ref_len)^2        (frame 0 only)
+  area_iso factor * |face_area - ref_area|
+  unbind   100 * w*|delta_t| + 1 * w*|delta_r.xyz|  (once loose-bound)
+  opacity  relu(0.8 - opacity).mean()
+
+Margin crops are realized as masks with masked means (static shapes under jit);
+for margins >= the SSIM window half-width (5 px) this is numerically identical
+to the reference's dynamic crop because cropping zero-pads the conv anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gaustar_tpu.cameras import Camera, index_camera
+from gaustar_tpu.models import sugar
+from gaustar_tpu.ops import losses
+from gaustar_tpu.ops.rasterizer import RasterConfig
+from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    """Hyperparameters of refined_training (refine.py:24-163 + opti_config)."""
+
+    num_iterations: int = 2000
+    sh_levels: int = 3
+    bg_color: tuple = (0.0, 1.0, 0.0)  # green screen (refine.py:456)
+    dssim_factor: float = 0.2
+    use_margin: bool = True
+    depth_loss_factor: float = 0.1
+    depth_loss_from: int = 0
+    mask_loss_factor: float = 1.0
+    mask_loss_from: int = 0
+    max_depth: float = 10.0
+    sh_reg_loss_factor: float = 1.0
+    use_sh_reg: bool = False
+    normal_consistency_factor: float = 0.5
+    edge_iso_factor: float = 1000.0
+    edge_iso_from: int = 0  # 999999 on later frames (train_seq.py:94-97 semantics)
+    area_iso_factor: float = 1000.0  # 5000 on frame 0
+    area_iso_from: int = 0
+    use_opacity_reg: bool = True
+    min_opacity: float = 0.8
+    loose_bind_from: int = 1000
+    loose_bind_factor_t: float = 100.0
+    loose_bind_factor_r: float = 1.0
+    do_sh_warmup: bool = True
+
+
+class FrameData(NamedTuple):
+    """Per-frame training data, device-resident."""
+
+    cameras: Camera  # batched (leading axis C)
+    gt_images: Any  # [C, H, W, 3] float32, bg composited green (cameras.py:192-196)
+    gt_depths: Any  # [C, H, W] float32, invalid/background >= max_depth
+    margins: Any  # [C, 4] int32 (left, right, top, bottom), >= 1 (refine.py:255-270)
+    ref_edge_len: Any  # [E]
+    ref_area: Any  # [F]
+    edges: Any  # [E, 2] int32 (topology of the bound mesh)
+    adj_faces: Any  # [E_int, 2] int32
+
+
+def compute_margins(cx, cy, width, height) -> np.ndarray:
+    """Per-camera crop margins from the principal point (refine.py:255-270)."""
+    c = len(np.atleast_1d(cx))
+    m = np.ones((c, 4), np.int32)
+    cx = np.atleast_1d(np.asarray(cx))
+    cy = np.atleast_1d(np.asarray(cy))
+    for i in range(c):
+        if cx[i] < width / 2:
+            m[i, 0] = int(width / 2 - cx[i]) + 1
+        else:
+            m[i, 1] = int(cx[i] - width / 2) + 1
+        if cy[i] < height / 2:
+            m[i, 2] = int(height / 2 - cy[i]) + 1
+        else:
+            m[i, 3] = int(cy[i] - height / 2) + 1
+    return m
+
+
+def margin_mask(margin, height: int, width: int) -> jnp.ndarray:
+    """[H, W] 0/1 mask excluding the crop margins (left, right, top, bottom)."""
+    xs = jnp.arange(width)
+    ys = jnp.arange(height)
+    mx = (xs >= margin[0]) & (xs < width - margin[1])
+    my = (ys >= margin[2]) & (ys < height - margin[3])
+    return (my[:, None] & mx[None, :]).astype(jnp.float32)
+
+
+def masked_mean(x, mask):
+    return (x * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def masked_rgb_loss(pred, gt, mask, dssim_factor=0.2):
+    """0.8*L1 + 0.2*DSSIM over the masked region (see module docstring)."""
+    m3 = mask[..., None]
+    l1 = masked_mean(jnp.abs(pred - gt), jnp.broadcast_to(m3, pred.shape))
+    window = losses._gaussian_window(11, 1.5)
+    p = pred * m3
+    g = gt * m3
+    mu1 = losses._filter2d_same(p, window)
+    mu2 = losses._filter2d_same(g, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = losses._filter2d_same(p * p, window) - mu1_sq
+    s2 = losses._filter2d_same(g * g, window) - mu2_sq
+    s12 = losses._filter2d_same(p * g, window) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    ssim_v = masked_mean(ssim_map, jnp.broadcast_to(m3, ssim_map.shape))
+    return (1.0 - dssim_factor) * l1 + dssim_factor * (1.0 - ssim_v)
+
+
+def compute_losses(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cam_idx,
+    iteration,
+    cfg: RefineConfig,
+    raster_cfg: RasterConfig,
+    sh_deg: int,
+    unbind_weight=None,
+    pre_sh_dc=None,
+):
+    """One iteration's full loss (refine.py:552-748). Differentiable in params."""
+    camera = index_camera(data.cameras, cam_idx)
+    H, W = camera.height, camera.width
+    loss_dict = {}
+
+    # --- RGB ---
+    img, _aux = sugar.render(
+        params, model_config, camera, bg=cfg.bg_color, sh_deg=sh_deg, raster_config=raster_cfg
+    )
+    gt = data.gt_images[cam_idx]
+    if cfg.use_margin:
+        mask = margin_mask(data.margins[cam_idx], H, W)
+        rgb = masked_rgb_loss(img, gt, mask, cfg.dssim_factor)
+    else:
+        rgb = losses.rgb_loss(img, gt, cfg.dssim_factor)
+    loss = rgb
+    loss_dict["rgb_loss"] = rgb
+
+    # --- depth + mask (refine.py:599-660) ---
+    depth_on = iteration > cfg.depth_loss_from
+    mask_on = iteration > cfg.mask_loss_from
+    pred_depth, _ = sugar.render_depth(
+        params, model_config, camera, max_depth=cfg.max_depth, raster_config=raster_cfg
+    )
+    gt_depth = data.gt_depths[cam_idx]
+    fg = (gt_depth < cfg.max_depth).astype(jnp.float32)
+    bg = (gt_depth > cfg.max_depth).astype(jnp.float32)
+    depth_loss = cfg.depth_loss_factor * masked_mean(jnp.abs(pred_depth - gt_depth), fg)
+    mask_loss = cfg.mask_loss_factor * masked_mean(jnp.abs(pred_depth - cfg.max_depth), bg)
+    loss = loss + jnp.where(depth_on, depth_loss, 0.0) + jnp.where(mask_on, mask_loss, 0.0)
+    loss_dict["depth_loss"] = depth_loss
+    loss_dict["mask_loss"] = mask_loss
+
+    # --- SH regularization to previous frame (refine.py:663-669) ---
+    if cfg.use_sh_reg and pre_sh_dc is not None:
+        sh_reg = cfg.sh_reg_loss_factor * ((pre_sh_dc - params.sh_dc[:, 0, :]) ** 2).mean()
+        loss = loss + sh_reg
+        loss_dict["sh_reg_loss"] = sh_reg
+
+    # --- mesh losses (refine.py:678-718) ---
+    verts, faces = sugar.surface_mesh(params, model_config)
+    nc = cfg.normal_consistency_factor * losses.mesh_normal_consistency_loss(
+        verts, faces, data.adj_faces
+    )
+    loss = loss + nc
+    loss_dict["nc_loss"] = nc
+
+    edge_on = iteration > cfg.edge_iso_from
+    edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss(
+        verts, data.edges, data.ref_edge_len
+    )
+    loss = loss + jnp.where(edge_on, edge, 0.0)
+    loss_dict["edge_loss"] = edge
+
+    area_on = iteration > cfg.area_iso_from
+    area = cfg.area_iso_factor * losses.mesh_area_isometry_loss(verts, faces, data.ref_area)
+    loss = loss + jnp.where(area_on, area, 0.0)
+    loss_dict["area_loss"] = area
+
+    # --- unbind regularization (refine.py:738-740) ---
+    if model_config.loose_bind and unbind_weight is not None:
+        w = unbind_weight[:, None]
+        loss = loss + cfg.loose_bind_factor_t * (w * jnp.abs(params.delta_t)).mean()
+        loss = loss + cfg.loose_bind_factor_r * (w * jnp.abs(params.delta_r[..., 1:])).mean()
+
+    # --- opacity regularization (refine.py:743-748) ---
+    if cfg.use_opacity_reg:
+        op_reg = jax.nn.relu(cfg.min_opacity - sugar.strengths(params)).mean()
+        loss = loss + op_reg
+        loss_dict["opacity_reg"] = op_reg
+
+    return loss, loss_dict
+
+
+def make_train_step(
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cfg: RefineConfig,
+    raster_cfg: RasterConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Returns jitted step(params, opt_state, cam_idx, iteration, sh_deg, ...) ->
+    (params, opt_state, loss, loss_dict). Re-traces per sh_deg (max sh_levels
+    variants) — the SH warmup schedule of refine.py:837-839."""
+
+    @functools.partial(jax.jit, static_argnames=("sh_deg",), donate_argnums=(0, 1))
+    def step(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
+        def loss_fn(p):
+            return compute_losses(
+                p,
+                model_config,
+                data,
+                cam_idx,
+                iteration,
+                cfg,
+                raster_cfg,
+                sh_deg,
+                unbind_weight,
+                pre_sh_dc,
+            )
+
+        (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, loss_dict
+
+    return step
+
+
+def sh_deg_at(iteration: int, cfg: RefineConfig) -> int:
+    """SH warmup: start at degree 0, +1 level every num_iterations/4
+    (refine.py:151-156, 837-839)."""
+    if not cfg.do_sh_warmup:
+        return cfg.sh_levels - 1
+    every = max(cfg.num_iterations // 4, 1)
+    return min(iteration // every + 1, cfg.sh_levels) - 1
+
+
+def refine_frame(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cfg: RefineConfig,
+    raster_cfg: RasterConfig,
+    opt_params: OptimizationParams | None = None,
+    spatial_lr_scale: float | None = None,
+    detect_topo_fn: Callable | None = None,
+    pre_sh_dc=None,
+    seed: int = 0,
+    log_every: int = 50,
+    log_fn: Callable | None = None,
+):
+    """Full refinement of one frame (refined_training, refine.py:39-866).
+
+    `detect_topo_fn(params, config) -> per-gaussian unbind weight in [0, 1]` is
+    invoked once at loose_bind_from (the detect_topo_err hook, refine.py:720-737);
+    if >= 100 gaussian-groups are fully flagged the model is loose-bound and the
+    delta regularizers activate. Returns (params, model_config, history).
+    """
+    # The jitted step donates its params/opt_state buffers; copy so the CALLER's
+    # pytree stays valid after this function returns.
+    params = jax.tree_util.tree_map(jnp.copy, params)
+
+    n_faces = model_config.faces.shape[0]
+    if spatial_lr_scale is None:
+        # refine.py:408: 10 * bbox_radius / sqrt(n_faces); bbox from mesh extent.
+        pts = np.asarray(params.points)
+        radius = float(np.linalg.norm(pts.max(0) - pts.min(0)) / 2.0)
+        spatial_lr_scale = 10.0 * radius / np.sqrt(n_faces)
+    if opt_params is None:
+        opt_params = OptimizationParams(iterations=cfg.num_iterations)
+    optimizer = make_sugar_optimizer(opt_params, spatial_lr_scale)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+
+    n_cams = data.gt_images.shape[0]
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n_cams)
+    cursor = 0
+
+    n_g = params.scales.shape[0]
+    unbind_weight = jnp.zeros((n_g,), jnp.float32)
+    history = []
+    loose = model_config.loose_bind
+
+    for it in range(1, cfg.num_iterations + 1):
+        if cursor >= n_cams:
+            order = rng.permutation(n_cams)
+            cursor = 0
+        cam_idx = int(order[cursor])
+        cursor += 1
+
+        # One-time unbind decision (refine.py:720-737).
+        if it == cfg.loose_bind_from and detect_topo_fn is not None and not loose:
+            face_weight = np.asarray(detect_topo_fn(params, model_config))  # [F] in [0,1]
+            w = 1.0 - np.repeat(face_weight, model_config.n_gaussians_per_face)
+            n_changed = int((w == 0).sum())
+            if n_changed >= 100:
+                params, model_config = sugar.loose_bound(params, model_config)
+                unbind_weight = jnp.asarray(w, jnp.float32)
+                loose = True
+                # Rebuild step for the new (static) loose_bind config.
+                step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+
+        sh_deg = sh_deg_at(it, cfg)
+        params, opt_state, loss, loss_dict = step(
+            params,
+            opt_state,
+            jnp.int32(cam_idx),
+            jnp.int32(it),
+            sh_deg,
+            unbind_weight,
+            pre_sh_dc if pre_sh_dc is not None else params.sh_dc[:, 0, :] * 0.0,
+        )
+        if log_every and it % log_every == 0:
+            entry = {k: float(v) for k, v in loss_dict.items()}
+            entry["iteration"] = it
+            entry["loss"] = float(loss)
+            history.append(entry)
+            if log_fn:
+                log_fn(entry)
+
+    return params, model_config, history
