@@ -1,0 +1,143 @@
+"""TSDF mesh extraction + topology update driver.
+
+extract_mesh_fusion (refined_mesh.py:311-459): render RGB + alpha-normalized
+depth from 72 orbit cameras + all rig cameras; background (alpha < 0.5) and
+depth-edge pixels dropped; integrate into the dense TSDF volume (voxel 8 mm,
+trunc 2 cm) on device; extract the fused surface on host.
+
+forward_rendering_and_mesh_update core (refined_mesh.py:924-1062): run the
+fusion, then try update_mesh_topo over aabb_pad in {10, 15, 20, 25, 30} mm and
+keep the attempt with the smallest boundary connection distance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaustar_tpu.cameras import Camera, index_camera, orbit_cameras, stack_cameras
+from gaustar_tpu.mesh import surgery, tsdf
+from gaustar_tpu.models import sugar
+from gaustar_tpu.ops.rasterizer import RasterConfig
+from gaustar_tpu.ops.sh import sh_to_rgb_dc
+from gaustar_tpu.tools import geometry as geo
+
+
+def render_rgbd_for_fusion(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    camera: Camera,
+    raster_cfg: RasterConfig,
+    sh_deg: int,
+    remove_depth_edge: bool = True,
+):
+    """(rgb [H,W,3], depth [H,W]) with background/edge pixels zeroed
+    (refined_mesh.py:350-437): depth = blend(z)/alpha, alpha<0.5 -> 0."""
+    img, _aux = sugar.render(
+        params, config, camera, bg=(0.0, 1.0, 0.0), sh_deg=sh_deg, raster_config=raster_cfg
+    )
+    rgb = np.asarray(jnp.clip(img, 0.0, 1.0))
+
+    positions = sugar.gaussian_centers(params, config)
+    view = camera.view
+    z = positions @ view[2, :3] + view[2, 3]
+    # channels: (z, z, 1) with black bg -> ch0 = blended depth, ch2 = alpha.
+    pc = jnp.stack([z, z, jnp.ones_like(z)], axis=-1)
+    da, _ = sugar.render(
+        params, config, camera, bg=(0.0, 0.0, 0.0), raster_config=raster_cfg, point_colors=pc
+    )
+    da = np.asarray(da)
+    depth = da[..., 0] / (da[..., 2] + 1e-8)
+    depth[da[..., 2] < 0.5] = 0.0
+    if remove_depth_edge:
+        edge = geo.get_depth_edge(depth, ker_size=3)
+        edge_vis = np.minimum(edge / max(edge.max(), 1e-12) * 1000, 1)
+        depth[edge_vis > 0.5] = 0.0
+    return rgb, depth
+
+
+def extract_mesh_fusion(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    cameras: Camera,  # batched rig cameras
+    raster_cfg: RasterConfig,
+    voxel_size: float = 0.008,
+    sdf_trunc: float = 0.02,
+    depth_trunc: float = 6.0,
+    use_orbit_cameras: bool = True,
+    max_dim: int = 512,
+) -> surgery.Mesh:
+    """TSDF-fuse rendered RGB-D into a mesh (refined_mesh.py:311-459)."""
+    pts = np.asarray(sugar.gaussian_centers(params, config))
+    vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
+
+    cam_list = []
+    n_rig = np.asarray(cameras.fx).shape[0]
+    for i in range(n_rig):
+        cam_list.append(index_camera(cameras, i))
+    if use_orbit_cameras:
+        center = pts.mean(axis=0)
+        c0 = cam_list[0]
+        dist = 3.0
+        orbit = orbit_cameras(
+            center, dist, c0.width, c0.height, float(np.asarray(c0.fx)), n_azim=12
+        )
+        cam_list = orbit + cam_list
+
+    sh_deg = config.sh_levels - 1
+    for cam in cam_list:
+        rgb, depth = render_rgbd_for_fusion(params, config, cam, raster_cfg, sh_deg)
+        fx = float(np.asarray(cam.fx))
+        fy = float(np.asarray(cam.fy))
+        cx = float(np.asarray(cam.cx))
+        cy = float(np.asarray(cam.cy))
+        intr = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        extr = jnp.asarray(np.asarray(cam.view))
+        vol = tsdf.integrate(
+            vol, jnp.asarray(depth), jnp.asarray(rgb), intr, extr, depth_trunc=depth_trunc
+        )
+
+    verts, faces, colors = tsdf.extract_mesh(vol)
+    face_colors = colors[faces].mean(axis=1) if len(faces) else np.zeros((0, 3))
+    return surgery.Mesh(verts.astype(np.float64), faces.astype(np.int64), face_colors)
+
+
+def get_color_mesh(params: sugar.SuGaRParams, config: sugar.SuGaRConfig) -> surgery.Mesh:
+    """Vertex/face mesh with per-face mean dc color (sugar_model.py:578-588)."""
+    verts = np.asarray(params.points, np.float64)
+    faces = np.asarray(config.faces, np.int64)
+    ng = config.n_gaussians_per_face
+    dc = np.asarray(params.sh_dc)[:, 0, :].reshape(len(faces), ng, 3).mean(axis=1)
+    rgb = np.clip(np.asarray(sh_to_rgb_dc(dc)), 0, 1)
+    return surgery.Mesh(verts, faces, rgb)
+
+
+def update_mesh_with_fusion(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    fusion_mesh: surgery.Mesh,
+    face_delta: np.ndarray,
+    aabb_pads=(0.010, 0.015, 0.020, 0.025, 0.030),
+    **kwargs,
+):
+    """Try update_mesh_topo over several aabb paddings, keep the attempt with the
+    smallest max boundary-connection distance (refined_mesh.py:1034-1052)."""
+    base = get_color_mesh(params, config)
+    ng = config.n_gaussians_per_face
+    gs_pts = np.asarray(sugar.gaussian_centers(params, config)).reshape(-1, ng, 3)
+
+    best = None
+    for pad in aabb_pads:
+        out = surgery.update_mesh_topo(
+            base, fusion_mesh, face_delta, gauss_points=gs_pts, aabb_pad=pad, **kwargs
+        )
+        if out.get("cc_update_num", 0) in (-1,):
+            return out  # nothing flagged at all
+        if out.get("cc_update_num", 0) <= 0:
+            continue
+        if best is None or out["max_dist_in_connection"] < best["max_dist_in_connection"]:
+            best = out
+            best["aabb_pad"] = pad
+    return best if best is not None else {"cc_update_num": 0}

@@ -1,0 +1,125 @@
+"""Topology-change detection — detect_topo_err (refined_mesh.py:697-920).
+
+For every camera: render RGB + mean depth + SOLID-surface depth (small in-plane
+scales raised to the mean so the surface is opaque); per-vertex visibility =
+projected depth within 5 mm of the solid-surface depth AND away from GT depth
+edges; per-vertex loss = min(|gt - render| * (1 - edge) * 10, 2) sampled at the
+projection; averaged over >= min_observe observing cameras; floor vertices
+zeroed; optionally propagated over mesh adjacency; finally voxel-pooled (1 cm)
+and KNN-8 gaussian-splat re-interpolated for spatial regularity. Returns a
+per-FACE weight in [0, 1] (face weight = first vertex's, matching trimesh's
+face_colors-from-vertex_colors behavior used at refined_mesh.py:913-920).
+
+Renders run jitted on device (batched over cameras by the caller's loop); the
+sparse pooling/propagation runs on host numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaustar_tpu.cameras import Camera, index_camera
+from gaustar_tpu.models import sugar
+from gaustar_tpu.mesh.topology import MeshTopology
+from gaustar_tpu.ops.rasterizer import RasterConfig
+from gaustar_tpu.tools import geometry as geo
+
+
+@dataclasses.dataclass(frozen=True)
+class TopoDetectConfig:
+    max_depth: float = 10.0
+    depth_scalar: float = 3.0
+    min_observe: int = 4
+    voxel_size: float = 0.01
+    mesh_prop: int = 20  # propagation rounds (refine.py passes 20)
+    detect_floor: bool = True
+    depth_agreement: float = 0.005  # 5 mm visibility threshold
+    edge_threshold: float = 0.1  # refined_mesh.py:803 edge visibility cutoff
+    edge_ker: int = 3
+
+
+def detect_topo_err(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    cameras: Camera,  # batched
+    gt_depths: np.ndarray,  # [C, H, W]
+    topo: MeshTopology,
+    raster_cfg: RasterConfig,
+    cfg: TopoDetectConfig = TopoDetectConfig(),
+) -> np.ndarray:
+    """Returns per-face weight [F] in [0, 1] (1 = topology changed)."""
+    verts = np.asarray(params.points, np.float64)
+    faces = np.asarray(config.faces)
+    n_cams = gt_depths.shape[0]
+    vert_num = len(verts)
+
+    vert_loss_total = np.zeros((n_cams, vert_num))
+    vert_visual_total = np.zeros((n_cams, vert_num), dtype=bool)
+
+    for ci in range(n_cams):
+        cam = index_camera(cameras, ci)
+        render_depth, _ = sugar.render_depth(
+            params, config, cam, max_depth=cfg.max_depth, raster_config=raster_cfg
+        )
+        surface_depth, _ = sugar.render_depth(
+            params, config, cam, max_depth=cfg.max_depth, raster_config=raster_cfg,
+            use_solid_surface=True,
+        )
+        render_depth = np.asarray(render_depth)
+        surface_depth = np.asarray(surface_depth)
+        depth_gt = np.asarray(gt_depths[ci])
+
+        edge_depth_gt = geo.get_depth_edge(depth_gt, cfg.edge_ker)
+        depth_diff = np.abs(np.minimum(depth_gt, cfg.max_depth) - render_depth)
+
+        # Project vertices; intr/extr in the host convention.
+        fx = float(np.asarray(cam.fx))
+        fy = float(np.asarray(cam.fy))
+        intr = np.array([[fx, 0, 0], [0, fy, 0], [0, 0, 1.0]])
+        extr = np.asarray(cam.view)
+        shape = (cam.height, cam.width)
+        pix_v, local = geo.project(verts, intr, extr, shape, return_local_points=True)
+        pix_depth, valid = geo.query_at_image(surface_depth, pix_v, return_valid=True)
+        visual = valid & (np.abs(local[..., 2] - pix_depth) < cfg.depth_agreement)
+
+        edge_max = edge_depth_gt.max()
+        edge_vis = np.minimum(edge_depth_gt / max(edge_max, 1e-12) * 1000, 1)
+        edge_w = geo.query_at_image(edge_vis, pix_v)
+        visual = visual & (edge_w < cfg.edge_threshold)
+        vert_visual_total[ci] = visual
+
+        loss_map = np.minimum(depth_diff * (1 - edge_vis) * 10, 2)
+        vert_loss = geo.query_at_image(loss_map, pix_v)
+        vert_loss_total[ci][visual] = vert_loss[visual]
+
+    vert_cnt = vert_visual_total.sum(axis=0)
+    observed = vert_cnt >= cfg.min_observe
+    sums = (vert_loss_total * vert_visual_total).sum(axis=0)
+    vert_loss_avg = np.zeros(vert_num)
+    vert_loss_avg[observed] = sums[observed] / vert_cnt[observed]
+    vert_loss_sum = vert_loss_avg[:, None].repeat(3, axis=1) * cfg.depth_scalar
+
+    if cfg.detect_floor:
+        vy = verts[:, 1]
+        floor = vy < vy.min() + 0.02
+        vert_loss_sum[floor] = 0
+        vert_cnt = vert_cnt.copy()
+        vert_cnt[floor] = cfg.min_observe + 1
+        observed = vert_cnt >= cfg.min_observe
+
+    if cfg.mesh_prop:
+        vert_loss_sum = geo.mesh_vert_propagate(
+            topo.vert_adj, topo.vert_adj_count, observed, vert_loss_sum, max_ite=cfg.mesh_prop
+        )
+
+    centers, vals = geo.build_voxel_from_pc(verts, vert_loss_sum, cfg.voxel_size)
+    vert_loss_sum = geo.interpolate_in_voxel(verts, centers, vals, cfg.voxel_size, knn_k=8)
+
+    # The reference converts vertex weights to 0..255 colors and reads trimesh's
+    # derived face_colors (mean of the face's vertex colors), then divides by 255.
+    vert_w = np.minimum(vert_loss_sum[:, 0], 1.0)
+    face_w = vert_w[faces].mean(axis=1)
+    return face_w

@@ -37,7 +37,7 @@ def ring_cameras(n=4, dist=4.0, w=48, h=48, focal=60.0, center_z=4.0):
     return cams
 
 
-def synthetic_frame(n_cams=4, w=48, h=48, subdiv=1, seed=0, raster_cfg=None, radius=0.6):
+def synthetic_frame(n_cams=4, w=48, h=48, subdiv=1, seed=0, raster_cfg=None, radius=0.6, target_opacity=0.95):
     """(init_params, config, FrameData, target_params, raster_cfg): gt rendered
     from an opaque target model with random vertex colors; trainee starts gray."""
     raster_cfg = raster_cfg or RasterConfig(
@@ -49,7 +49,7 @@ def synthetic_frame(n_cams=4, w=48, h=48, subdiv=1, seed=0, raster_cfg=None, rad
 
     target_params, config = sugar.init_sugar(verts, faces, vertex_colors=colors)
     target_params = dataclasses.replace(
-        target_params, densities=jnp.full_like(target_params.densities, inverse_sigmoid(0.95))
+        target_params, densities=jnp.full_like(target_params.densities, inverse_sigmoid(target_opacity))
     )
 
     cams = ring_cameras(n_cams, w=w, h=h)
