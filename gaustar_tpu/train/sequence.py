@@ -1,0 +1,258 @@
+"""Per-frame sequence driver — the train_seq.py equivalent (train_seq.py:101-249).
+
+For each frame:
+  1. bind a SuGaR model to the coarse mesh (frame 0: init_mesh with edge-iso 1000
+     and area-iso 5000; later frames: the flow-warped warp_smooth mesh, area-iso
+     1000, edge-iso off, SH-reg prior from the previous checkpoint);
+  2. run the refinement loop (unbind detection at iters/2 unless disabled);
+  3. if the model loose-bound: TSDF-fuse, update the mesh topology, write
+     face_corr (track_face_mask + ref_area) and re-refine on the updated mesh
+     for iters/2 with unbinding disabled;
+  4. export checkpoint (.npz), color_mesh.obj, 3DGS .ply;
+  5. flow-warp the color mesh to initialize the next frame.
+
+File contracts mirror the reference (SURVEY section 1) so artifacts interoperate:
+  work/<NNNN>/<iters>.npz (+.json), color_mesh.obj, <NNNN>.ply,
+  work/<NNNN>/face_corr.npz, updated_mesh.obj,
+  work/<NNNN+interval>/coarse_mesh/warp_smooth.obj
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaustar_tpu.cameras import stack_cameras
+from gaustar_tpu.io import checkpoint as ckpt_io
+from gaustar_tpu.io import dataset as ds
+from gaustar_tpu.io.meshio import read_obj, write_obj
+from gaustar_tpu.mesh.topology import build_topology
+from gaustar_tpu.models import sugar
+from gaustar_tpu.ops.losses import edge_lengths, face_areas_normals
+from gaustar_tpu.ops.rasterizer import RasterConfig
+from gaustar_tpu.train import mesh_update, refine, topo_detect
+from gaustar_tpu.tools import warp_mesh
+from gaustar_tpu.tools.geometry import vertex_normals
+
+
+@dataclasses.dataclass
+class SequenceConfig:
+    """train_seq.py:17-98 argument surface."""
+
+    data_root: str = ""
+    work_root: str = ""
+    frame_0: int = 0
+    frame_end: int = 1
+    interval: int = 1
+    refinement_iterations: int = 2000
+    gaussians_per_triangle: int = 6
+    disable_mesh_update: bool = False
+    sh_reg: bool = True
+    from_humanrf: bool = True
+    downscale: float = 1.0
+    init_mesh_name: str = "init_mesh_100k.obj"
+    max_depth: float = 10.0
+    # scale clamps relative to ref mesh mean edge (refine.py:307-311)
+    max_gaussian_scalar: float = 5.0
+    min_gaussian_scalar: float = 0.1
+
+
+def _mesh_stats(verts, faces):
+    topo = build_topology(faces, len(verts))
+    el = np.asarray(edge_lengths(jnp.asarray(verts), jnp.asarray(topo.edges)))
+    areas, _ = face_areas_normals(jnp.asarray(verts), jnp.asarray(faces))
+    return topo, el, np.asarray(areas)
+
+
+def _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area):
+    batch = stack_cameras(cams)
+    margins = refine.compute_margins(
+        np.asarray(batch.cx), np.asarray(batch.cy), batch.width, batch.height
+    )
+    return refine.FrameData(
+        cameras=batch,
+        gt_images=jnp.asarray(gt_images),
+        gt_depths=jnp.asarray(gt_depths),
+        margins=jnp.asarray(margins),
+        ref_edge_len=jnp.asarray(ref_edge_len),
+        ref_area=jnp.asarray(ref_area),
+        edges=jnp.asarray(topo.edges),
+        adj_faces=jnp.asarray(topo.adj_faces),
+    )
+
+
+def refine_one_frame(
+    seq: SequenceConfig,
+    frame: int,
+    mesh_verts: np.ndarray,
+    mesh_faces: np.ndarray,
+    mesh_colors: np.ndarray | None,
+    cams,
+    gt_images,
+    gt_depths,
+    raster_cfg: RasterConfig,
+    is_first_frame: bool,
+    pre_sh: np.ndarray | None = None,
+    ref_area_override: np.ndarray | None = None,
+    num_iterations: int | None = None,
+    enable_unbind: bool = True,
+    detect_cfg: topo_detect.TopoDetectConfig | None = None,
+):
+    """One refined_training invocation. Returns (params, config, data, topo)."""
+    topo, ref_edge_len, ref_area = _mesh_stats(mesh_verts, mesh_faces)
+    if ref_area_override is not None:
+        ref_area = ref_area_override
+
+    mean_edge = float(ref_edge_len.mean())
+    params, config = sugar.init_sugar(
+        mesh_verts,
+        mesh_faces,
+        vertex_colors=mesh_colors,
+        n_gaussians_per_face=seq.gaussians_per_triangle,
+        min_scale=mean_edge * seq.min_gaussian_scalar,
+        max_scale=mean_edge * seq.max_gaussian_scalar,
+    )
+
+    data = _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area)
+
+    iters = num_iterations or seq.refinement_iterations
+    cfg = refine.RefineConfig(
+        num_iterations=iters,
+        edge_iso_factor=1000.0,
+        edge_iso_from=0 if is_first_frame else 999_999,
+        area_iso_factor=5000.0 if is_first_frame else 1000.0,
+        use_sh_reg=seq.sh_reg and pre_sh is not None,
+        loose_bind_from=(iters // 2) if (enable_unbind and not seq.disable_mesh_update) else 999_999,
+        max_depth=seq.max_depth,
+    )
+
+    detect_fn = None
+    if enable_unbind and not seq.disable_mesh_update:
+        dcfg = detect_cfg or topo_detect.TopoDetectConfig(max_depth=seq.max_depth)
+
+        def detect_fn(p, c):
+            return topo_detect.detect_topo_err(
+                p, c, data.cameras, np.asarray(data.gt_depths), topo, raster_cfg, dcfg
+            )
+
+    params, config, history = refine.refine_frame(
+        params,
+        config,
+        data,
+        cfg,
+        raster_cfg,
+        detect_topo_fn=detect_fn,
+        pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
+    )
+    return params, config, data, topo, history
+
+
+def run_sequence(
+    seq: SequenceConfig,
+    raster_cfg: RasterConfig | None = None,
+    detect_cfg: topo_detect.TopoDetectConfig | None = None,
+    warp_cfg: warp_mesh.WarpConfig | None = None,
+):
+    """The full per-frame loop (train_seq.py:101-249)."""
+    raster_cfg = raster_cfg or RasterConfig()
+    cmr = ds.load_rgb_cameras(os.path.join(seq.data_root, "rgb_cameras.npz"))
+    cams = ds.cameras_from_npz(cmr, seq.downscale)
+    n_cams = len(cams)
+
+    pre_sh = None
+    prev_color_mesh = None
+
+    for f_idx in range(seq.frame_0, seq.frame_end, seq.interval):
+        fdir = os.path.join(seq.work_root, f"{f_idx:04d}")
+        os.makedirs(fdir, exist_ok=True)
+        is_first = f_idx == seq.frame_0
+
+        if is_first:
+            mesh_path = os.path.join(seq.data_root, seq.init_mesh_name)
+        else:
+            mesh_path = os.path.join(fdir, "coarse_mesh", "warp_smooth.obj")
+        verts, faces, colors = read_obj(mesh_path)
+
+        gt_images, gt_depths = ds.load_frame_images(
+            seq.data_root, f_idx, n_cams, seq.from_humanrf, seq.max_depth
+        )
+
+        params, config, data, topo, _ = refine_one_frame(
+            seq, f_idx, verts, faces, colors, cams, gt_images, gt_depths,
+            raster_cfg, is_first, pre_sh=pre_sh, detect_cfg=detect_cfg,
+        )
+
+        # --- mesh update if unbound (train_seq.py:150-213) ---
+        if config.loose_bind and not seq.disable_mesh_update:
+            fusion = mesh_update.extract_mesh_fusion(params, config, data.cameras, raster_cfg)
+            dcfg = detect_cfg or topo_detect.TopoDetectConfig(max_depth=seq.max_depth)
+            face_w = topo_detect.detect_topo_err(
+                params, config, data.cameras, np.asarray(data.gt_depths), topo,
+                raster_cfg, dcfg,
+            )
+            out = mesh_update.update_mesh_with_fusion(params, config, fusion, face_w)
+            if out.get("cc_update_num", 0) > 0:
+                um = out["updated_mesh"]
+                write_obj(os.path.join(fdir, "updated_mesh.obj"), um.verts, um.faces)
+                np.savez_compressed(
+                    os.path.join(fdir, "face_corr.npz"),
+                    track_face_mask=out["track_face_mask"],
+                    ref_area=out["new_ref_area"],
+                )
+                # Re-refine on the updated mesh, half iterations, no unbind.
+                vc = _face_colors_to_vertex(um)
+                params, config, data, topo, _ = refine_one_frame(
+                    seq, f_idx, um.verts.astype(np.float32), um.faces.astype(np.int32),
+                    vc, cams, gt_images, gt_depths, raster_cfg,
+                    is_first_frame=False,
+                    pre_sh=None,
+                    ref_area_override=out["new_ref_area"],
+                    num_iterations=seq.refinement_iterations // 2,
+                    enable_unbind=False,
+                )
+
+        # --- exports (refine.py:845-864, refined_mesh.py:1223-1228) ---
+        ckpt_io.save_sugar(
+            os.path.join(fdir, f"{seq.refinement_iterations}.npz"), params, config
+        )
+        ckpt_io.export_refined_ply(os.path.join(fdir, f"{f_idx:04d}.ply"), params, config)
+        color_mesh = mesh_update.get_color_mesh(params, config)
+        vc = _face_colors_to_vertex(color_mesh)
+        write_obj(
+            os.path.join(fdir, "color_mesh.obj"), color_mesh.verts, color_mesh.faces, vc
+        )
+
+        pre_sh = np.asarray(params.sh_dc)[:, 0, :]
+        prev_color_mesh = color_mesh
+
+        # --- warp to next frame (train_seq.py:242-245) ---
+        next_f = f_idx + seq.interval
+        if next_f < seq.frame_end:
+            _, gt_depths_next = ds.load_frame_images(
+                seq.data_root, next_f, n_cams, seq.from_humanrf, seq.max_depth
+            )
+            flows_f, flows_b = ds.load_frame_flows(
+                seq.data_root, f_idx, n_cams, seq.interval, shape=tuple(cmr["shape"][0]),
+            )
+            warped, _, _ = warp_mesh.warp_mesh_using_flow(
+                color_mesh.verts, color_mesh.faces, cmr,
+                flows_f, flows_b, list(gt_depths), list(gt_depths_next),
+                warp_cfg or warp_mesh.WarpConfig(),
+            )
+            out_dir = os.path.join(seq.work_root, f"{next_f:04d}", "coarse_mesh")
+            os.makedirs(out_dir, exist_ok=True)
+            write_obj(os.path.join(out_dir, "warp_smooth.obj"), warped, color_mesh.faces, vc)
+
+
+def _face_colors_to_vertex(mesh) -> np.ndarray:
+    """Average face colors onto vertices (for OBJ vertex-color export)."""
+    vc = np.zeros((len(mesh.verts), 3))
+    cnt = np.zeros(len(mesh.verts))
+    fc = mesh.face_colors if mesh.face_colors is not None else np.full((len(mesh.faces), 3), 0.5)
+    for k in range(3):
+        np.add.at(vc, mesh.faces[:, k], fc[:, :3])
+        np.add.at(cnt, mesh.faces[:, k], 1)
+    return vc / np.maximum(cnt, 1)[:, None]
