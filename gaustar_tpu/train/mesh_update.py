@@ -68,6 +68,8 @@ def extract_mesh_fusion(
     depth_trunc: float = 6.0,
     use_orbit_cameras: bool = True,
     max_dim: int = 512,
+    smooth: bool = False,
+    simplify_face_num: int = 0,
 ) -> surgery.Mesh:
     """TSDF-fuse rendered RGB-D into a mesh (refined_mesh.py:311-459)."""
     pts = np.asarray(sugar.gaussian_centers(params, config))
@@ -100,7 +102,19 @@ def extract_mesh_fusion(
         )
 
     verts, faces, colors = tsdf.extract_mesh(vol)
-    face_colors = colors[faces].mean(axis=1) if len(faces) else np.zeros((0, 3))
+    if smooth and len(faces):
+        from gaustar_tpu import native
+
+        verts = native.laplacian_smooth(verts, faces, iterations=10).astype(np.float32)
+    if simplify_face_num and len(faces) > simplify_face_num:
+        from gaustar_tpu import native
+
+        verts, faces = native.decimate(verts, faces, simplify_face_num)
+        verts = verts.astype(np.float32)
+        colors = None
+    face_colors = (
+        colors[faces].mean(axis=1) if (colors is not None and len(faces)) else np.zeros((len(faces), 3))
+    )
     return surgery.Mesh(verts.astype(np.float64), faces.astype(np.int64), face_colors)
 
 
