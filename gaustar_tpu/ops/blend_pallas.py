@@ -245,6 +245,22 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = start_ref[t]
     used = used_ref[t]
+
+    # Most tiles of a typical capture have no contributors (empty background or
+    # padding) — skip ALL work for them, including the input transposes. Their
+    # grad slots are zeroed by the jnp wrapper's `written` mask.
+    @pl.when(used > 0)
+    def _tile_body():
+        _bwd_tile(
+            t, start, used, pair_hbm, fwd_ref, dout_ref, grads_hbm, buf, gbuf, acc,
+            sem_in, sem_out, grid_x=grid_x, chunk=chunk,
+        )
+
+
+def _bwd_tile(
+    t, start, used, pair_hbm, fwd_ref, dout_ref, grads_hbm, buf, gbuf, acc,
+    sem_in, sem_out, *, grid_x, chunk
+):
     px, py = _pixel_coords(t, grid_x)
 
     fstate = fwd_ref[0].T  # [PIX, 8]

@@ -1,0 +1,61 @@
+"""RAFT architecture: shapes, pipeline, and analytic-translation sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gaustar_tpu.tools import raft
+
+
+def test_raft_shapes():
+    p = raft.random_params()
+    img = np.zeros((1, 3, 64, 96), np.float32)
+    flow = raft.raft_forward(p, jnp.asarray(img), jnp.asarray(img), iters=2)
+    assert flow.shape == (1, 2, 64, 96)
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_bilinear_sampler_identity():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 4, 8, 10)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(8, dtype=np.float32), np.arange(10, dtype=np.float32), indexing="ij")
+    coords = jnp.asarray(np.stack([xs, ys], -1))[None].repeat(2, 0)
+    out = raft.bilinear_sampler(img, coords)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_corr_pyramid_peak_at_true_shift():
+    """Correlation of a shifted feature map peaks at the shifted coordinate."""
+    rng = np.random.default_rng(1)
+    h, w, d = 16, 16, 32
+    f1 = rng.normal(size=(1, d, h, w)).astype(np.float32)
+    shift = 3  # f2[x] = f1[x - 3] -> pixel x in img1 matches x+3 in img2? no:
+    # f2[:, :, :, 3:] = f1[:, :, :, :-3] means feature at img2 col c equals img1 col c-3,
+    # so img1 col c matches img2 col c+3.
+    f2 = np.zeros_like(f1)
+    f2[:, :, :, shift:] = f1[:, :, :, : w - shift]
+    pyr = raft.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=1)
+    corr = np.asarray(pyr[0]).reshape(h, w, h, w)
+    # for a middle pixel, argmax over img2 position should be (same row, col+3)
+    r, c = 8, 6
+    m = np.unravel_index(np.argmax(corr[r, c]), (h, w))
+    assert m == (r, c + shift), m
+
+
+def test_upsample_flow_shape_and_scale():
+    p = raft.random_params()
+    flow = jnp.ones((1, 2, 4, 6))
+    mask = jnp.zeros((1, 64 * 9, 4, 6))
+    up = raft.upsample_flow_convex(flow, mask)
+    assert up.shape == (1, 2, 32, 48)
+    # uniform mask -> convex combo of 8*flow values = 8 (interior; borders see
+    # the zero padding of the 3x3 patch window)
+    np.testing.assert_allclose(np.asarray(up)[:, :, 8:-8, 8:-8], 8.0, atol=1e-4)
+
+
+def test_compute_flow_pair_pipeline():
+    p = raft.random_params()
+    rng = np.random.default_rng(2)
+    img = (rng.uniform(size=(40, 60, 3)) * 255).astype(np.uint8)
+    f, b, pad = raft.compute_flow_pair(p, img, img, iters=1, scale=0.5)
+    assert f.shape == (20, 30, 2) and b.shape == (20, 30, 2)
+    assert np.isfinite(f).all()
