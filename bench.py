@@ -42,7 +42,9 @@ def main():
     colors = rng.uniform(0.2, 0.9, size=(len(verts), 3)).astype(np.float32)
     params, config = sugar.init_sugar(verts, faces, vertex_colors=colors)
     cameras = ring_cameras(4, w=W, h=H, focal=1600.0)
-    raster_cfg = RasterConfig(max_pairs=1 << 21, chunk=256, impl="pallas")
+    raster_cfg = RasterConfig(
+        max_pairs=1 << 19, max_padded=1 << 20, chunk=256, impl="pallas"
+    )
 
     target = jnp.zeros((H, W, 3)) + 0.5
 

@@ -42,16 +42,29 @@ def padded_capacity(max_pairs: int, n_tiles: int, chunk: int) -> int:
     return max_pairs + n_tiles * (chunk - 1)
 
 
+def default_capacity(max_pairs: int, n_tiles: int, chunk: int, max_padded: int | None) -> int:
+    """Capacity of the padded pair array. The worst case reserves chunk-1 slack
+    per tile, which at fine chunks dwarfs the real pair count and every
+    cap-proportional op (gather/scatter/masks) pays for it — callers that know
+    their scenes pass `max_padded` to bound it (overflow is detected via
+    num_padded and simply truncates trailing tiles, like max_pairs overflow)."""
+    cap = padded_capacity(max_pairs, n_tiles, chunk)
+    if max_padded is not None:
+        cap = min(cap, max_padded)
+    return cap
+
+
 def bin_gaussians(
     g: Gaussians2D,
     grid_x: int,
     grid_y: int,
     max_pairs: int,
     chunk: int = 256,
+    max_padded: int | None = None,
 ) -> BinnedPairs:
     n = g.mean2d.shape[0]
     n_tiles = grid_x * grid_y
-    cap = padded_capacity(max_pairs, n_tiles, chunk)
+    cap = default_capacity(max_pairs, n_tiles, chunk, max_padded)
 
     # Depth-rank trick: sort the N gaussians by depth once (stable => ties break by
     # gaussian index, identical to the CUDA pair sort's stable radix tie order),

@@ -443,17 +443,16 @@ def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, r
         _auto_interpret(interpret),
     )
     # Zero the slots the kernel never wrote (tiles' unused chunks + padding).
+    # Written slots form disjoint intervals [start_t, start_t + used_t*chunk) in
+    # segment order -> O(T) difference-array scatter + one cumsum, instead of a
+    # [cap]-sized searchsorted (which costs tens of ms at multi-million caps).
     cap = pair_data.shape[1]
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    pair_tile = jnp.clip(
-        jnp.searchsorted(
-            tile_start.astype(jnp.int32), slot, side="right", method="sort"
-        ).astype(jnp.int32)
-        - 1,
-        0,
-        grid_x * grid_y - 1,
-    )
-    written = (slot - tile_start[pair_tile]) < tile_used[pair_tile] * chunk
+    delta = jnp.zeros((cap + 1,), jnp.int32)
+    starts = tile_start.astype(jnp.int32)
+    ends = starts + tile_used * chunk
+    delta = delta.at[jnp.minimum(starts, cap)].add(1, mode="drop")
+    delta = delta.at[jnp.minimum(ends, cap)].add(-1, mode="drop")
+    written = jnp.cumsum(delta[:-1]) > 0
     grads = jnp.where(written[None, :], grads, 0.0)
     d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
     d_tn = np.zeros(tile_nchunks.shape, jax.dtypes.float0)

@@ -33,6 +33,7 @@ from gaustar_tpu.ops.rasterizer_ref import rasterize_dense
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     max_pairs: int = 1 << 20
+    max_padded: int | None = None  # cap on chunk-aligned pair slots (see binning)
     chunk: int = 256  # pallas blend chunk (pairs per VMEM block)
     max_per_tile: int = 2048  # static per-tile capacity of the 'jax' blend impl
     impl: str = "auto"  # 'auto' | 'pallas' | 'jax' | 'dense'
@@ -84,7 +85,9 @@ def rasterize(
 
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
-    binned = binning.bin_gaussians(g, grid_x, grid_y, config.max_pairs, config.chunk)
+    binned = binning.bin_gaussians(
+        g, grid_x, grid_y, config.max_pairs, config.chunk, config.max_padded
+    )
     pair_data = binning.gather_pair_data(g, binned)
 
     if impl == "jax":
