@@ -108,3 +108,56 @@ def load_frame_flows(root: str, frame: int, n_cams: int, interval: int = 1, shap
         flows_f.append(pad_and_resize_flow(f, pad, shape))
         flows_b.append(pad_and_resize_flow(b, pad, shape))
     return flows_f, flows_b
+
+
+def load_cameras_json(path: str) -> list[Camera]:
+    """Load a 3DGS `cameras.json` (the gs_out/ contract consumed by
+    gaustar_scene/cameras.py:19-129 load_gs_cameras): per-camera position +
+    rotation are the INVERSE-view components (W2C built from them, then
+    inverted/transposed as in the reference)."""
+    import json
+
+    with open(path) as f:
+        entries = sorted(json.load(f), key=lambda x: x["img_name"])
+    cams = []
+    for e in entries:
+        w2c_inv = np.eye(4)
+        w2c_inv[:3, :3] = np.asarray(e["rotation"])
+        w2c_inv[:3, 3] = np.asarray(e["position"])
+        w2c = np.linalg.inv(w2c_inv)
+        cams.append(
+            Camera.from_w2c(
+                w2c,
+                fx=e["fx"],
+                fy=e["fy"],
+                cx=e["width"] / 2.0,
+                cy=e["height"] / 2.0,
+                width=e["width"],
+                height=e["height"],
+            )
+        )
+    return cams
+
+
+def save_cameras_json(path: str, cams: list[Camera], names=None):
+    """Write the 3DGS cameras.json contract (scene/__init__.py:51-63)."""
+    import json
+
+    out = []
+    for i, c in enumerate(cams):
+        w2c = np.asarray(c.view, np.float64)
+        w2c_inv = np.linalg.inv(w2c)
+        out.append(
+            {
+                "id": i,
+                "img_name": names[i] if names else f"img_{i:04d}",
+                "width": int(c.width),
+                "height": int(c.height),
+                "position": w2c_inv[:3, 3].tolist(),
+                "rotation": w2c_inv[:3, :3].tolist(),
+                "fx": float(np.asarray(c.fx)),
+                "fy": float(np.asarray(c.fy)),
+            }
+        )
+    with open(path, "w") as f:
+        json.dump(out, f)

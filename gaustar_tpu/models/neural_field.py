@@ -193,3 +193,101 @@ def density_grid(p: HashGridParams, cfg: FieldConfig, res: int = 256, chunk: int
         )
         out[i] = np.asarray(query(jnp.asarray(pts))).reshape(res, res)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 4D low-rank temporal decomposition (HumanRF's core representation)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Field4DParams:
+    """HumanRF's Decomposition4D (decomposition4d.py:79-135 +
+    tensor_composition.cu:9-56): four spatial hash grids over the coordinate
+    projections {xyz, xyt, yzt, xzt}, each modulated by a 1D feature vector
+    sampled (align-corners lerp) at the LEFT-OUT coordinate:
+
+        feat(x, y, z, t) = hash_xyz(x,y,z) * vec_t(t) + hash_xyt(x,y,t) * vec_z(z)
+                         + hash_yzt(y,z,t) * vec_x(x) + hash_xzt(x,z,t) * vec_y(y)
+    """
+
+    tables: Any  # [4, L, T, F] hash tables per projection
+    vectors: Any  # [4, R, L*F] 1D vectors over the left-out coordinate
+    mlp_sigma: Any
+    mlp_color: Any
+
+
+_PROJ = ((0, 1, 2, 3), (0, 1, 3, 2), (1, 2, 3, 0), (0, 2, 3, 1))  # (kept..., left-out)
+
+
+def init_field4d(cfg: FieldConfig, vector_res: int = 64, seed: int = 0) -> Field4DParams:
+    base = init_field(cfg, seed)
+    rng = np.random.default_rng(seed + 1)
+    tables = np.stack(
+        [
+            rng.uniform(-1e-4, 1e-4, size=(cfg.n_levels, cfg.table_size, cfg.n_features)).astype(np.float32)
+            for _ in range(4)
+        ]
+    )
+    vectors = np.ones((4, vector_res, cfg.n_levels * cfg.n_features), np.float32)
+    return Field4DParams(
+        tables=jnp.asarray(tables),
+        vectors=jnp.asarray(vectors),
+        mlp_sigma=base.mlp_sigma,
+        mlp_color=base.mlp_color,
+    )
+
+
+def _sample_vector(vec, coord01):
+    """Align-corners linear sampling of [R, F] at coord01 [N] in [0,1]
+    (tensor_composition.cu's fp32 vector lerp)."""
+    r = vec.shape[0]
+    x = coord01 * (r - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, r - 2)
+    f = (x - x0.astype(jnp.float32))[:, None]
+    return vec[x0] * (1 - f) + vec[x0 + 1] * f
+
+
+def hash_encode_4d(p: Field4DParams, pts01: jnp.ndarray, t01: jnp.ndarray, cfg: FieldConfig):
+    """[N, 3] spatial (in [0,1]) + [N] time (in [0,1]) -> [N, L*F] composed features."""
+    coords4 = jnp.concatenate([pts01, t01[:, None]], axis=-1)  # [N, 4]
+    out = 0.0
+    for pi, proj in enumerate(_PROJ):
+        kept = coords4[:, jnp.asarray(proj[:3])]
+        left = coords4[:, proj[3]]
+        h = hash_encode(p.tables[pi], kept, cfg)  # [N, L*F]
+        v = _sample_vector(p.vectors[pi], left)  # [N, L*F]
+        out = out + h * v
+    return out
+
+
+def query_density_4d(p: Field4DParams, pts: jnp.ndarray, t01, cfg: FieldConfig):
+    lo = jnp.asarray(cfg.aabb_min)
+    hi = jnp.asarray(cfg.aabb_max)
+    pts01 = (pts - lo) / (hi - lo)
+    inside = ((pts01 >= 0) & (pts01 <= 1)).all(axis=-1)
+    enc = hash_encode_4d(p, jnp.clip(pts01, 0.0, 1.0), t01, cfg)
+    out = _mlp(p.mlp_sigma, enc, 2)
+    sigma = jnp.exp(jnp.clip(out[:, 0], -10.0, 10.0)) * cfg.density_scale
+    return jnp.where(inside, sigma, 0.0), out[:, 1:]
+
+
+def adaptive_temporal_partition(motion_per_frame, budget: float, max_len: int = 100):
+    """Split a frame sequence into segments whose ACCUMULATED motion stays under
+    `budget` — HumanRF's adaptive temporal partitioning
+    (adaptive_temporal_partitioning.py:107: segments sized by scene change so
+    each 4D representation's capacity matches content). motion_per_frame: [T]
+    (e.g., mean optical-flow magnitude). Returns list of (start, end) pairs."""
+    segments = []
+    start = 0
+    acc = 0.0
+    for i, m in enumerate(motion_per_frame):
+        acc += float(m)
+        if acc > budget or (i - start + 1) >= max_len:
+            segments.append((start, i + 1))
+            start = i + 1
+            acc = 0.0
+    if start < len(motion_per_frame):
+        segments.append((start, len(motion_per_frame)))
+    return segments

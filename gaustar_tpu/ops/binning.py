@@ -142,6 +142,45 @@ def bin_gaussians(
     )
 
 
+import functools as _functools
+
+import numpy as _np
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_soa(src: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """src [N+?, F] row gather -> [F, cap] SoA, with a SORT-based segment-sum
+    backward: XLA's scatter-add VJP for a multi-million-row gather costs tens of
+    ms on TPU, while (single-key sort + gather + cumsum-diff) is ~3x cheaper.
+    idx entries >= n are padding and receive/propagate nothing."""
+    idx_c = jnp.minimum(idx, src.shape[0] - 1)
+    data = src[idx_c].T
+    return jnp.where((idx < n)[None, :], data, 0.0)
+
+
+def _gather_rows_fwd(src, idx, n):
+    return _gather_rows_soa(src, idx, n), (idx, src.shape[0])
+
+
+def _gather_rows_bwd(n, res, ct):
+    idx, n_src = res
+    cap = idx.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    sorted_idx, perm = jax.lax.sort((idx, iota), num_keys=1, is_stable=False)
+    g_sorted = ct.T[perm]  # [cap, F] rows grouped by gaussian
+    csum = jnp.cumsum(g_sorted, axis=0)
+    bounds = jnp.searchsorted(
+        sorted_idx, jnp.arange(n_src + 1, dtype=jnp.int32), side="left", method="sort"
+    ).astype(jnp.int32)
+    hi = jnp.where((bounds[1:] > 0)[:, None], csum[jnp.maximum(bounds[1:] - 1, 0)], 0.0)
+    lo = jnp.where((bounds[:-1] > 0)[:, None], csum[jnp.maximum(bounds[:-1] - 1, 0)], 0.0)
+    d_src = hi - lo  # rows past n (padding sentinel) fall outside [0, n_src)
+    return d_src, _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_rows_soa.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> jnp.ndarray:
     """Differentiable gather of per-pair blend data, SoA layout [fields, cap].
 
@@ -151,7 +190,6 @@ def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> j
     Padding slots are zeroed (opacity 0 => no contribution, no gradient).
     SoA keeps Pallas HBM DMA slices [fields, chunk] lane-aligned (chunk % 128 == 0).
     """
-    idx = jnp.minimum(binned.gauss_idx, g.mean2d.shape[0] - 1)
     c = g.color.shape[-1]
     src = jnp.concatenate(
         [g.mean2d, g.conic, g.opacity[:, None], g.color], axis=-1
@@ -160,5 +198,4 @@ def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> j
     if fields > src.shape[-1]:
         src = jnp.pad(src, ((0, 0), (0, fields - src.shape[-1])))
     src = src[binned.depth_order]  # pair slots index in depth-rank space
-    data = src[idx].T  # [fields, cap]
-    return jnp.where(binned.pair_valid[None, :], data, 0.0)
+    return _gather_rows_soa(src, binned.gauss_idx, g.mean2d.shape[0])

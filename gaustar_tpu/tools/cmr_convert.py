@@ -127,3 +127,30 @@ def read_actorshq_calibration(csv_path: str):
 
 def save_rgb_cameras(path: str, cmr: dict):
     np.savez(path, **cmr)
+
+
+def color_mesh_from_views(
+    verts, faces, images, depths, cmr, depth_agreement=0.01, min_views=1
+):
+    """Initial colored mesh by multi-view vertex-color voting with depth
+    visibility (ahq2gaustar.py:124-160): each vertex averages the image color of
+    every camera that sees it (projected depth agrees with the GT depth map).
+    images [C, H, W, 3] in [0, 1]; depths [C, H, W]; cmr: rgb_cameras arrays.
+    Returns vertex_colors [V, 3]."""
+    from gaustar_tpu.tools.geometry import project, query_at_image
+
+    verts = np.asarray(verts, np.float64)
+    acc = np.zeros((len(verts), 3))
+    cnt = np.zeros(len(verts))
+    for ci in range(len(images)):
+        shape = depths[ci].shape
+        pix, local = project(verts, cmr["intrinsics"][ci], cmr["extrinsics"][ci], shape, return_local_points=True)
+        d, ok = query_at_image(depths[ci], pix, return_valid=True)
+        vis = ok & (np.abs(local[..., 2] - d) < depth_agreement)
+        col = query_at_image(images[ci], pix)
+        acc[vis] += col[vis]
+        cnt[vis] += 1
+    colors = np.full((len(verts), 3), 0.5)
+    seen = cnt >= min_views
+    colors[seen] = acc[seen] / cnt[seen, None]
+    return colors

@@ -131,3 +131,36 @@ def test_colmap_export(tmp_path):
 
     R = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
     np.testing.assert_allclose(R, extr[0][:3, :3], atol=1e-5)
+
+
+def test_cameras_json_roundtrip(tmp_path):
+    from gaustar_tpu.io import dataset as ds
+
+    cams = ring_cameras(3, w=64, h=48, focal=70.0)
+    path = str(tmp_path / "cameras.json")
+    ds.save_cameras_json(path, cams)
+    cams2 = ds.load_cameras_json(path)
+    for a, b in zip(cams, cams2):
+        np.testing.assert_allclose(np.asarray(b.view), np.asarray(a.view), atol=1e-6)
+        assert b.width == a.width and b.height == a.height
+
+
+def test_color_mesh_from_views():
+    from gaustar_tpu.tools.cmr_convert import color_mesh_from_views
+    from gaustar_tpu.tools.mesh_render import render_mesh_depth
+
+    verts, faces = icosphere(2, radius=0.5, center=(0, 0, 4.0))
+    cams = ring_cameras(4, w=64, h=64, focal=80.0)
+    intr = np.stack([np.diag([80.0, 80.0, 1.0])] * 4)
+    extr = np.stack([np.asarray(c.view) for c in cams])
+    cmr = {"intrinsics": intr, "extrinsics": extr}
+    depths, images = [], []
+    for c in cams:
+        d, m, _ = render_mesh_depth(verts, faces, c, max_pairs=1 << 14, max_per_tile=512)
+        depths.append(np.where(m, d, 999.0))
+        img = np.zeros((64, 64, 3), np.float32)
+        img[m] = [0.8, 0.2, 0.1]  # uniform red-ish surface
+        images.append(img)
+    colors = color_mesh_from_views(verts, faces, np.stack(images), np.stack(depths), cmr)
+    seen = (np.abs(colors - [0.8, 0.2, 0.1]).max(-1) < 1e-5)
+    assert seen.mean() > 0.55, seen.mean()  # silhouette verts fail depth agreement

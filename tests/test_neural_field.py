@@ -68,3 +68,25 @@ def test_field_fits_sphere_and_extracts_mesh():
     assert len(mesh.faces) > 100
     d_center = np.linalg.norm(mesh.verts - center, axis=-1)
     assert np.median(d_center) < 0.8, np.median(d_center)
+
+
+def test_field4d_composition():
+    cfg = nf.FieldConfig(n_levels=3, table_size=1 << 10, base_res=4, max_res=16)
+    p = nf.init_field4d(cfg, vector_res=8)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(size=(50, 3)).astype(np.float32))
+    t0 = jnp.zeros(50)
+    t1 = jnp.ones(50) * 0.7
+    s0, _ = nf.query_density_4d(p, pts * 2 - 1, t0, cfg)
+    s1, _ = nf.query_density_4d(p, pts * 2 - 1, t1, cfg)
+    assert s0.shape == (50,)
+    # time-dependence exists (different hash grids engaged via t)
+    assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_adaptive_partition():
+    motion = [0.1] * 10 + [2.0] + [0.1] * 5
+    segs = nf.adaptive_temporal_partition(motion, budget=1.0)
+    assert segs[0][0] == 0
+    assert sum(e - s for s, e in segs) == len(motion)
+    # the big-motion frame forces a boundary at or before it
+    assert any(e == 11 for s, e in segs)
