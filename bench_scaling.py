@@ -1,0 +1,86 @@
+"""Multi-device scaling harness (the BASELINE north-star's >= 85% efficiency
+target at 1 chip -> 1 host -> N hosts).
+
+Runs the camera-sharded training step over meshes of 1..N devices and reports
+step time + scaling efficiency (time_1 / (time_N) since per-device work is one
+camera per step: ideal scaling keeps step time flat while processing N x the
+cameras).
+
+On this single-chip environment it exercises VIRTUAL CPU devices (functional
+scaling + collective correctness); on a real pod slice, run under
+`jax.distributed.initialize()` and the same mesh spans ICI/DCN.
+
+Usage: JAX_PLATFORMS=cpu python bench_scaling.py  (or on a pod: python bench_scaling.py)
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    # Default: virtual CPU devices (this environment has one physical chip; the
+    # harness validates collectives + scaling shape). On a real pod slice set
+    # GAUSTAR_SCALING_BACKEND=tpu (with jax.distributed initialized).
+    backend = os.environ.get("GAUSTAR_SCALING_BACKEND", "cpu")
+    if backend == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaustar_tpu.ops.rasterizer import RasterConfig
+    from gaustar_tpu.parallel.sharding import make_camera_mesh, make_sharded_train_step
+    from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
+    from gaustar_tpu.train.refine import RefineConfig
+    from gaustar_tpu.utils.synthetic import synthetic_frame
+
+    n_dev_total = jax.device_count()
+    sizes = [n for n in [1, 2, 4, 8, 16] if n <= n_dev_total]
+
+    raster_cfg = RasterConfig(max_pairs=1 << 14, chunk=32, max_per_tile=512, impl="jax")
+    results = {}
+    for n in sizes:
+        params, config, data, _t, _ = synthetic_frame(
+            n_cams=n, w=64, h=64, subdiv=2, raster_cfg=raster_cfg
+        )
+        cfg = RefineConfig(num_iterations=4, loose_bind_from=10_000)
+        optimizer = make_sugar_optimizer(OptimizationParams(), 1.0)
+        opt_state = optimizer.init(params)
+        mesh = make_camera_mesh(n)
+        step = make_sharded_train_step(config, data, cfg, raster_cfg, optimizer, mesh)(sh_deg=0)
+        cam_idx = jnp.zeros((n, 1), jnp.int32)
+        uw = jnp.zeros((params.scales.shape[0],), jnp.float32)
+        pre = params.sh_dc[:, 0, :] * 0.0
+        # compile + warmup
+        p, s, loss = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
+        _ = float(loss)
+        t0 = time.time()
+        reps = 5
+        for i in range(reps):
+            p, s, loss = step(p, s, cam_idx, jnp.int32(2 + i), uw, pre)
+        _ = float(loss)
+        dt = (time.time() - t0) / reps
+        results[n] = dt
+
+    base = results[sizes[0]]
+    eff = {n: round(base / results[n], 3) for n in sizes}
+    out = {
+        "metric": "camera-sharded step scaling efficiency (N devices, 1 camera/device)",
+        "value": eff[sizes[-1]],
+        "unit": "efficiency",
+        "vs_baseline": eff[sizes[-1]] / 0.85,
+        "detail": {str(n): {"step_s": round(results[n], 4), "efficiency": eff[n]} for n in sizes},
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

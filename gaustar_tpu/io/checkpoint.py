@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaustar_tpu.models import gaussians, sugar
-from gaustar_tpu.utils.general import inverse_sigmoid
 
 _PARAM_FIELDS = [f.name for f in dataclasses.fields(sugar.SuGaRParams)]
 

@@ -17,7 +17,6 @@ gaussian scenes) is layered on the same mesh as a second axis later.
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

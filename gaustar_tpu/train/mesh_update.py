@@ -12,12 +12,10 @@ keep the attempt with the smallest boundary connection distance.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 
-from gaustar_tpu.cameras import Camera, index_camera, orbit_cameras, stack_cameras
+from gaustar_tpu.cameras import Camera, index_camera, orbit_cameras
 from gaustar_tpu.mesh import surgery, tsdf
 from gaustar_tpu.models import sugar
 from gaustar_tpu.ops.rasterizer import RasterConfig

@@ -275,6 +275,7 @@ def refine_frame(
     seed: int = 0,
     log_every: int = 50,
     log_fn: Callable | None = None,
+    config_dump_path: str | None = None,
 ):
     """Full refinement of one frame (refined_training, refine.py:39-866).
 
@@ -298,6 +299,23 @@ def refine_frame(
     optimizer = make_sugar_optimizer(opt_params, spatial_lr_scale)
     opt_state = optimizer.init(params)
     step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+
+    if config_dump_path:
+        # Reference: per-run config.json capturing all hyperparameters
+        # (refine.py:459-519).
+        import dataclasses as _dc
+        import json as _json
+
+        dump = {
+            **_dc.asdict(cfg),
+            "spatial_lr_scale": float(spatial_lr_scale),
+            "n_faces": int(n_faces),
+            "n_gaussians": int(params.scales.shape[0]),
+            "opt": _dc.asdict(opt_params),
+            "raster": {k: v for k, v in _dc.asdict(raster_cfg).items()},
+        }
+        with open(config_dump_path, "w") as f:
+            _json.dump(dump, f, indent=2, sort_keys=True)
 
     n_cams = data.gt_images.shape[0]
     rng = np.random.default_rng(seed)

@@ -35,7 +35,6 @@ from gaustar_tpu.ops.losses import edge_lengths, face_areas_normals
 from gaustar_tpu.ops.rasterizer import RasterConfig
 from gaustar_tpu.train import mesh_update, refine, topo_detect
 from gaustar_tpu.tools import warp_mesh
-from gaustar_tpu.tools.geometry import vertex_normals
 
 
 @dataclasses.dataclass
@@ -100,6 +99,7 @@ def refine_one_frame(
     num_iterations: int | None = None,
     enable_unbind: bool = True,
     detect_cfg: topo_detect.TopoDetectConfig | None = None,
+    config_dump_path: str | None = None,
 ):
     """One refined_training invocation. Returns (params, config, data, topo)."""
     topo, ref_edge_len, ref_area = _mesh_stats(mesh_verts, mesh_faces)
@@ -146,6 +146,7 @@ def refine_one_frame(
         raster_cfg,
         detect_topo_fn=detect_fn,
         pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
+        config_dump_path=config_dump_path,
     )
     return params, config, data, topo, history
 
@@ -183,6 +184,7 @@ def run_sequence(
         params, config, data, topo, _ = refine_one_frame(
             seq, f_idx, verts, faces, colors, cams, gt_images, gt_depths,
             raster_cfg, is_first, pre_sh=pre_sh, detect_cfg=detect_cfg,
+            config_dump_path=os.path.join(fdir, "config.json"),
         )
 
         # --- mesh update if unbound (train_seq.py:150-213) ---
