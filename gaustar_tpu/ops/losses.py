@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaustar_tpu.utils.general import l2norm
+
 
 def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(pred - gt).mean()
@@ -91,7 +93,7 @@ def face_areas_normals(verts: jnp.ndarray, faces: jnp.ndarray):
     e1 = v[:, 1] - v[:, 0]
     e2 = v[:, 2] - v[:, 0]
     n = jnp.cross(e1, e2)
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    nn = l2norm(n)
     areas = 0.5 * nn[..., 0]
     normals = n / jnp.maximum(nn, 1e-12)
     return areas, normals
@@ -99,7 +101,7 @@ def face_areas_normals(verts: jnp.ndarray, faces: jnp.ndarray):
 
 def edge_lengths(verts: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
     d = verts[edges[:, 0]] - verts[edges[:, 1]]
-    return jnp.linalg.norm(d, axis=-1)
+    return l2norm(d, keepdims=False)
 
 
 def mesh_edge_isometry_loss(verts, edges, ref_lengths) -> jnp.ndarray:

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from gaustar_tpu.utils.general import l2norm
+
 C0 = 0.28209479177387814
 C1 = 0.4886025119029199
 C2 = (
@@ -105,7 +107,7 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.nda
     backward replays; jnp.maximum's VJP reproduces it exactly.
     """
     dirs = positions - campos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs / l2norm(dirs)
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
 
 

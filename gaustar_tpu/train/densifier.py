@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaustar_tpu.models.gaussians import GaussianParams
-from gaustar_tpu.utils.general import inverse_sigmoid, quaternion_to_matrix, normalize
+from gaustar_tpu.utils.general import inverse_sigmoid, quaternion_to_matrix, normalize, l2norm
 
 DEAD_OPACITY_LOGIT = -30.0
 
@@ -48,7 +48,7 @@ def update_stats(state: DensifierState, means2d_grad: jnp.ndarray, radii: jnp.nd
     (sugar_densifier.py:156-164). means2d_grad is the NDC-space gradient (the
     rasterizer's means2d_dummy cotangent)."""
     vis = radii > 0
-    g = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
+    g = l2norm(means2d_grad[:, :2], keepdims=False)
     return DensifierState(
         grad_accum=state.grad_accum + jnp.where(vis, g, 0.0),
         denom=state.denom + vis.astype(jnp.float32),

@@ -22,6 +22,8 @@ from gaustar_tpu.mesh import tsdf as tsdf_mod
 from gaustar_tpu.mesh.surgery import Mesh, get_outlier_cc_mask
 from gaustar_tpu.models import neural_field as nf
 
+from gaustar_tpu.utils.general import l2norm
+
 
 @dataclasses.dataclass(frozen=True)
 class InitMeshConfig:
@@ -46,7 +48,7 @@ def rays_for_pixels(camera: Camera, px, py):
     view = camera.view
     R = view[:3, :3]
     d_world = d_local @ R  # R^T applied to rows
-    d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    d_world = d_world / l2norm(d_world)
     o = jnp.broadcast_to(camera.camera_center, d_world.shape)
     return o, d_world
 

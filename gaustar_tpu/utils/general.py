@@ -90,8 +90,18 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
     out = jnp.take_along_axis(quat_candidates, best[..., None, None].repeat(4, -1), axis=-2)[
         ..., 0, :
     ]
-    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+    return out / l2norm(out)
+
+
+def l2norm(v: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
+    """sqrt(sum(v^2)). Use this instead of jnp.linalg.norm in anything jitted:
+    linalg.norm's overflow-safe lowering (amax-rescaled) miscompiles under
+    whole-graph jit on TPU (observed on jax 0.9.0/v5e: "unit" vectors with norms
+    up to 14x off, deterministic, eager fine), which silently corrupted every
+    downstream covariance. The naive form compiles correctly and our magnitudes
+    (edge lengths, quaternions, view dirs) never approach f32 overflow."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    return v / jnp.maximum(l2norm(v, axis=axis), eps)

@@ -129,3 +129,21 @@ def test_sh_dc_color_init():
 
     rgb = np.asarray(sh_to_rgb_dc(params.sh_dc[:, 0, :]))
     assert rgb.min() > -0.5 and rgb.max() < 1.5
+
+
+def test_frames_unit_under_jit():
+    """Regression: jnp.linalg.norm miscompiled under whole-graph jit on TPU
+    (jax 0.9.0/v5e), leaving "normalized" frame columns with norms up to 14x off
+    and corrupting every covariance downstream. utils.general.l2norm (naive
+    sqrt-sum-square) replaced it; this asserts frames stay orthonormal INSIDE a
+    jit, which is exactly the configuration that broke (eager was always fine).
+    On CPU this is belt-and-braces; run on TPU it is the real regression gate."""
+    verts, faces = icosphere(3, radius=0.5, center=(0.0, 0.0, 4.0))
+    params, config = sugar.init_sugar(verts, faces)
+
+    frames_jit = jax.jit(lambda p: sugar.gaussian_frames(p, config))(params)
+    frames_eager = sugar.gaussian_frames(params, config)
+
+    gram = frames_jit @ jnp.swapaxes(frames_jit, 1, 2)
+    np.testing.assert_allclose(np.asarray(gram), np.broadcast_to(np.eye(3), gram.shape), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frames_jit), np.asarray(frames_eager), atol=1e-5)
