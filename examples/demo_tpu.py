@@ -132,10 +132,28 @@ def main():
     seq = SequenceConfig(
         data_root=root, work_root=work, frame_0=0, frame_end=2,
         refinement_iterations=iters, sh_reg=True,
+        force_watertight=False, boundary_pad=0.1, update_cc_face_threshold=20,
+        # Coarser TSDF + decimation: the reference's 8 mm voxels assume
+        # meter-scale captures; on this 0.5-radius scene they would graft a
+        # ~1M-face patch and OOM the re-refine.
+        fusion_voxel_size=0.015, fusion_simplify_face_num=20_000,
     )
-    dcfg = topo_detect.TopoDetectConfig(min_observe=3, mesh_prop=10, detect_floor=False)
+    # Scale-adapted thresholds: the reference defaults assume 1.5 MP rigs with
+    # mm-scale triangles; this demo is 256^2 with ~3 cm triangles.
+    dcfg = topo_detect.TopoDetectConfig(
+        min_observe=3, mesh_prop=10, detect_floor=False,
+        depth_agreement=0.05, edge_threshold=0.6, voxel_size=0.05,
+        # depth_scalar 1 (reference: 3): detection runs at iters/2 where the
+        # alpha-blended depth still carries residual-transmittance bias toward
+        # the far background; the blob's ~0.3 depth contrast still flags.
+        depth_scalar=1.0,
+    )
+    # max_move small: with synthetic zero flow, the occlusion rejection that
+    # real bidirectional RAFT flow provides is absent, so keep lifted motion
+    # short of the blob offset.
     wcfg = warp_mesh.WarpConfig(min_observe=2, depth_agreement=0.02, edge_threshold=0.5,
-                                depth_edge_ker_size=3, edge_scalar=1000.0)
+                                depth_edge_ker_size=3, edge_scalar=1000.0,
+                                max_move_dist=0.05)
     t0 = time.time()
     run_sequence(seq, raster_cfg=rcfg, detect_cfg=dcfg, warp_cfg=wcfg)
     t_seq = time.time() - t0

@@ -142,6 +142,21 @@ def _fwd_kernel(
     t = pl.program_id(0)
     start = start_ref[t]
     nch = nchunks_ref[t]
+
+    # Empty tiles (most of a typical grid) get a constant background block:
+    # color 0, T = 1, n_contrib 0 — no state init, no transpose.
+    @pl.when(nch == 0)
+    def _empty():
+        row = lax.broadcasted_iota(jnp.int32, (8, PIX), 0)
+        out_ref[0] = jnp.where(row == 3, 1.0, 0.0)
+
+    @pl.when(nch > 0)
+    def _nonempty():
+        _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem,
+                  grid_x=grid_x, width=width, height=height, chunk=chunk)
+
+
+def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *, grid_x, width, height, chunk):
     px, py = _pixel_coords(t, grid_x)
     outside = (px >= width) | (py >= height)
 
@@ -276,13 +291,35 @@ def _bwd_tile(
     acc[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
     acc[:, 1:4] = jnp.zeros((PIX, 3), jnp.float32)
 
+    # Double-buffered chunk reads (walk is back-to-front: chunk used-1-j) and
+    # deferred grad writes: the write for iteration j is waited at j+2 (before
+    # its gbuf slot is reused) and drained after the loop — DMA latency hides
+    # behind the chunk compute. The reverse walk has no early exit, so the
+    # start/wait counts are statically balanced.
+    def read_dma(j, slot):
+        off = pl.multiple_of(start + (used - 1 - j) * chunk, chunk)
+        return pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, chunk)], buf.at[slot], sem_in.at[slot]
+        )
+
+    def write_dma(j, slot):
+        off = pl.multiple_of(start + (used - 1 - j) * chunk, chunk)
+        return pltpu.make_async_copy(
+            gbuf.at[slot], grads_hbm.at[:, pl.ds(off, chunk)], sem_out.at[slot]
+        )
+
+    read_dma(0, 0).start()
+
     def body(j, _):
         i = used - 1 - j
-        off = pl.multiple_of(start + i * chunk, chunk)
-        cp = pltpu.make_async_copy(pair_hbm.at[:, pl.ds(off, chunk)], buf, sem_in)
-        cp.start()
-        cp.wait()
-        d = buf[:, :]
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < used)
+        def _prefetch():
+            read_dma(j + 1, 1 - slot).start()
+
+        read_dma(j, slot).wait()
+        d = buf[slot, :, :]
         p_after = acc[:, 0:1]
         a0, contrib, g_exp, dx, dy = _chunk_alphas(d, px, py)
         pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a0.shape, 1)).astype(jnp.float32)
@@ -316,18 +353,28 @@ def _bwd_tile(
         g_C = jnp.sum(-0.5 * g_exp * dy * dy * dG, axis=0, keepdims=True)
         g_op = jnp.sum(g_exp * dL_da, axis=0, keepdims=True)
 
+        # Wait the write issued two iterations ago before reusing its slot.
+        @pl.when(j >= 2)
+        def _wait_prev_write():
+            write_dma(j - 2, slot).wait()
+
         zeros = jnp.zeros((1, chunk), jnp.float32)
-        gbuf[:, :] = jnp.concatenate(
+        gbuf[slot, :, :] = jnp.concatenate(
             [g_x, g_y, g_A, g_B, g_C, g_op] + g_rgb + [zeros] * (NFIELDS - 9), axis=0
         )
-        wr = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(off, chunk)], sem_out)
-        wr.start()
-        wr.wait()
+        write_dma(j, slot).start()
 
         acc[:, 0:1] = p_after * sp[:, 0:1]  # full-chunk product
         return 0
 
     lax.fori_loop(0, used, body, 0)
+
+    # Drain outstanding writes (last one or two iterations).
+    @pl.when(used >= 2)
+    def _drain2():
+        write_dma(used - 2, jax.lax.rem(used - 2, 2)).wait()
+
+    write_dma(used - 1, jax.lax.rem(used - 1, 2)).wait()
 
 
 def _blend_bwd_raw(
@@ -348,11 +395,11 @@ def _blend_bwd_raw(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((NFIELDS, chunk), jnp.float32),
-                pltpu.VMEM((NFIELDS, chunk), jnp.float32),
+                pltpu.VMEM((2, NFIELDS, chunk), jnp.float32),
+                pltpu.VMEM((2, NFIELDS, chunk), jnp.float32),
                 pltpu.VMEM((PIX, 8), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((NFIELDS, cap), jnp.float32),

@@ -66,6 +66,7 @@ class RefineConfig:
     loose_bind_from: int = 1000
     loose_bind_factor_t: float = 100.0
     loose_bind_factor_r: float = 1.0
+    unbind_threshold: int = 100  # min fully-flagged gaussians to loose-bind (refine.py:720-737)
     do_sh_warmup: bool = True
 
 
@@ -339,7 +340,7 @@ def refine_frame(
             face_weight = np.asarray(detect_topo_fn(params, model_config))  # [F] in [0,1]
             w = 1.0 - np.repeat(face_weight, model_config.n_gaussians_per_face)
             n_changed = int((w == 0).sum())
-            if n_changed >= 100:
+            if n_changed >= cfg.unbind_threshold:
                 params, model_config = sugar.loose_bound(params, model_config)
                 unbind_weight = jnp.asarray(w, jnp.float32)
                 loose = True

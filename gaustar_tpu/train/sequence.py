@@ -57,6 +57,19 @@ class SequenceConfig:
     # scale clamps relative to ref mesh mean edge (refine.py:307-311)
     max_gaussian_scalar: float = 5.0
     min_gaussian_scalar: float = 0.1
+    # mesh-surgery overrides (reference defaults; toy scales need looser values)
+    force_watertight: bool = True
+    boundary_pad: float = 0.02
+    update_cc_face_threshold: int = 80
+    unbind_threshold: int = 100  # refine.py:720-737 flagged-gaussian count
+    # TSDF fusion knobs (refined_mesh.py:312 defaults assume meter-scale rigs;
+    # fusion_simplify_face_num > 0 decimates the fused mesh before grafting so a
+    # fine voxel grid cannot explode the updated mesh's face count).
+    fusion_voxel_size: float = 0.008
+    fusion_sdf_trunc: float = 0.02
+    fusion_depth_trunc: float = 6.0
+    fusion_max_dim: int = 512
+    fusion_simplify_face_num: int = 0
 
 
 def _mesh_stats(verts, faces):
@@ -126,6 +139,7 @@ def refine_one_frame(
         area_iso_factor=5000.0 if is_first_frame else 1000.0,
         use_sh_reg=seq.sh_reg and pre_sh is not None,
         loose_bind_from=(iters // 2) if (enable_unbind and not seq.disable_mesh_update) else 999_999,
+        unbind_threshold=seq.unbind_threshold,
         max_depth=seq.max_depth,
     )
 
@@ -189,13 +203,25 @@ def run_sequence(
 
         # --- mesh update if unbound (train_seq.py:150-213) ---
         if config.loose_bind and not seq.disable_mesh_update:
-            fusion = mesh_update.extract_mesh_fusion(params, config, data.cameras, raster_cfg)
+            fusion = mesh_update.extract_mesh_fusion(
+                params, config, data.cameras, raster_cfg,
+                voxel_size=seq.fusion_voxel_size,
+                sdf_trunc=seq.fusion_sdf_trunc,
+                depth_trunc=seq.fusion_depth_trunc,
+                max_dim=seq.fusion_max_dim,
+                simplify_face_num=seq.fusion_simplify_face_num,
+            )
             dcfg = detect_cfg or topo_detect.TopoDetectConfig(max_depth=seq.max_depth)
             face_w = topo_detect.detect_topo_err(
                 params, config, data.cameras, np.asarray(data.gt_depths), topo,
                 raster_cfg, dcfg,
             )
-            out = mesh_update.update_mesh_with_fusion(params, config, fusion, face_w)
+            out = mesh_update.update_mesh_with_fusion(
+                params, config, fusion, face_w,
+                force_watertight=seq.force_watertight,
+                boundary_pad=seq.boundary_pad,
+                cc_face_threshold=seq.update_cc_face_threshold,
+            )
             if out.get("cc_update_num", 0) > 0:
                 um = out["updated_mesh"]
                 write_obj(os.path.join(fdir, "updated_mesh.obj"), um.verts, um.faces)

@@ -164,3 +164,25 @@ def test_color_mesh_from_views():
     colors = color_mesh_from_views(verts, faces, np.stack(images), np.stack(depths), cmr)
     seen = (np.abs(colors - [0.8, 0.2, 0.1]).max(-1) < 1e-5)
     assert seen.mean() > 0.55, seen.mean()  # silhouette verts fail depth agreement
+
+
+def test_profiling_utils():
+    from gaustar_tpu.utils.profiling import debug_validate, loop_bench
+    import jax.numpy as jnp
+    import jax
+
+    dt = loop_bench(lambda i, x: (x * (1.0 + i * 0.0)).sum(), jnp.ones((64, 64)), iters=3)
+    assert dt >= 0
+
+    params = {"a": jnp.ones(3)}
+    debug_validate(params, name="ok")
+    import pytest
+
+    with pytest.raises(FloatingPointError):
+        debug_validate({"a": jnp.asarray([1.0, np.nan])}, name="bad")
+
+    class Aux:
+        num_pairs = jnp.asarray(100)
+
+    with pytest.raises(OverflowError):
+        debug_validate(params, aux=Aux(), max_pairs=50, name="ovf")
