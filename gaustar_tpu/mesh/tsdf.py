@@ -243,9 +243,29 @@ def extract_mesh(vol: TSDFVolume, with_color: bool = True):
 
 
 def fit_volume_to_points(points, voxel_size: float, sdf_trunc: float, pad: float = 0.05, max_dim: int = 512) -> TSDFVolume:
-    """Create a dense volume covering a point set with padding."""
+    """Create a dense volume covering a point set with padding.
+
+    Unlike o3d's ScalableTSDFVolume (refined_mesh.py:329) this volume is dense
+    and bounded: if the padded bbox needs more than `max_dim` voxels along an
+    axis, the volume is truncated and geometry outside it is silently lost by
+    `integrate` — so we warn loudly and record `.truncated` on the volume.
+    """
+    import warnings
+
     points = np.asarray(points)
     lo = points.min(axis=0) - pad
     hi = points.max(axis=0) + pad
-    dims = np.minimum(np.ceil((hi - lo) / voxel_size).astype(int) + 1, max_dim)
-    return make_volume(lo, tuple(int(d) for d in dims), voxel_size, sdf_trunc)
+    needed = np.ceil((hi - lo) / voxel_size).astype(int) + 1
+    dims = np.minimum(needed, max_dim)
+    truncated = bool((needed > max_dim).any())
+    if truncated:
+        warnings.warn(
+            f"fit_volume_to_points: bbox needs dims {needed.tolist()} voxels at "
+            f"voxel_size={voxel_size}, clamped to max_dim={max_dim}; geometry "
+            f"outside {(max_dim * voxel_size):.3f} m per axis will be lost. "
+            f"Raise max_dim or voxel_size.",
+            stacklevel=2,
+        )
+    vol = make_volume(lo, tuple(int(d) for d in dims), voxel_size, sdf_trunc)
+    vol.truncated = truncated
+    return vol

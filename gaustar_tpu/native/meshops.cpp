@@ -4,7 +4,11 @@
 //   - quadric edge-collapse decimation: pyfqmr (humanrf/trainer.py:746-749) and
 //     o3d simplify_quadric_decimation (refined_mesh.py:458). Implements the
 //     threshold-schedule variant of Garland-Heckbert (iterative passes with
-//     err < 1e-9*(it+3)^agg), the same algorithm family pyfqmr wraps.
+//     err < 1e-9*(it+3)^agg). The quadric section below (SymMat layout, the
+//     threshold schedule, border flagging) is adapted from sp4cerat's
+//     Fast-Quadric-Mesh-Simplification (MIT license,
+//     github.com/sp4cerat/Fast-Quadric-Mesh-Simplification — the algorithm
+//     pyfqmr wraps); it is an adaptation, not a from-scratch design.
 //   - laplacian smoothing: o3d filter_smooth_laplacian (refined_mesh.py:451).
 //   - 3-NN mean squared distance: simple-knn distCUDA2 (simple_knn.cu:45-221),
 //     uniform-grid version for host-side initialization.

@@ -128,3 +128,60 @@ def rasterize(
         num_padded=binned.num_padded,
     )
     return img, aux
+
+
+def capacity_overflow(aux: RasterAux, config: RasterConfig, grid_x: int, grid_y: int) -> bool:
+    """True if the render truncated pairs (host sync: reads two scalars)."""
+    import numpy as np
+
+    if int(np.asarray(aux.num_pairs)) > config.max_pairs:
+        return True
+    cap = binning.default_capacity(
+        config.max_pairs, grid_x * grid_y, config.chunk, config.max_padded
+    )
+    return int(np.asarray(aux.num_padded)) > cap
+
+
+def grow_config(config: RasterConfig, aux: RasterAux) -> RasterConfig:
+    """Return a config with capacities doubled past the observed demand."""
+    import numpy as np
+
+    need_pairs = int(np.asarray(aux.num_pairs))
+    need_padded = int(np.asarray(aux.num_padded))
+    new_pairs = max(2 * config.max_pairs, need_pairs)
+    new_padded = None
+    if config.max_padded is not None:
+        new_padded = max(2 * config.max_padded, need_padded)
+    return dataclasses.replace(config, max_pairs=new_pairs, max_padded=new_padded)
+
+
+def rasterize_auto(
+    means3d,
+    cov3d,
+    opacities,
+    colors,
+    camera: Camera,
+    bg: Any = (0.0, 0.0, 0.0),
+    config: RasterConfig = RasterConfig(),
+    max_doublings: int = 4,
+):
+    """`rasterize` with host-level capacity auto-retry: on num_pairs/num_padded
+    overflow the capacities are doubled (re-jit) and the render repeated, so the
+    result is never silently truncated (the CUDA path cannot overflow because it
+    mallocs the exact size per call, rasterizer_impl.cu:277-303; our static
+    shapes need this retry loop instead). Returns (img, aux, config_used)."""
+    cfg = config
+    grid_x = (camera.width + TILE - 1) // TILE
+    grid_y = (camera.height + TILE - 1) // TILE
+    for _ in range(max_doublings):
+        img, aux = rasterize(means3d, cov3d, opacities, colors, camera, bg, cfg)
+        if cfg.resolve_impl() == "dense" or not capacity_overflow(aux, cfg, grid_x, grid_y):
+            return img, aux, cfg
+        cfg = grow_config(cfg, aux)
+    img, aux = rasterize(means3d, cov3d, opacities, colors, camera, bg, cfg)
+    if capacity_overflow(aux, cfg, grid_x, grid_y):
+        raise OverflowError(
+            f"rasterize_auto: still overflowing after {max_doublings} doublings "
+            f"(num_pairs={int(aux.num_pairs)}, max_pairs={cfg.max_pairs})"
+        )
+    return img, aux, cfg

@@ -21,66 +21,74 @@ def points_to_local_points(points: np.ndarray, extr: np.ndarray) -> np.ndarray:
     return points @ extr[:3, :3].T + extr[:3, 3]
 
 
+def _rc_focal_center(intr, shape):
+    """(focal, center) arranged in (row, col) order for a center-principal-point
+    K (images are pre-shifted so cx,cy sit at the center, cmr_convert.py:26)."""
+    focal = np.array([intr[1, 1], intr[0, 0]], dtype=np.float64)  # (fy, fx)
+    center = 0.5 * np.array([shape[0], shape[1]], dtype=np.float64)
+    return focal, center
+
+
 def project(points: np.ndarray, intr, extr, shape, return_local_points=False):
-    """3D world points -> (row, col) pixels (warp_mesh.py:57-76)."""
-    batch_shape = points.shape[:-1]
-    points = points.reshape(-1, 3)
-    local = points_to_local_points(points, extr)
-    x = local[..., 0] / local[..., 2]
-    y = local[..., 1] / local[..., 2]
-    pixel_c = intr[0, 0] * x + shape[1] * 0.5
-    pixel_r = intr[1, 1] * y + shape[0] * 0.5
-    pixels = np.stack([pixel_r, pixel_c], axis=-1).reshape(*batch_shape, 2)
+    """3D world points -> (row, col) pixels (semantics of warp_mesh.py:57-76)."""
+    lead = points.shape[:-1]
+    cam = points_to_local_points(points.reshape(-1, 3), extr)
+    focal, center = _rc_focal_center(intr, shape)
+    # perspective divide, then swap xy -> (y/z, x/z) so output is (row, col)
+    rc = cam[:, [1, 0]] / cam[:, 2:3] * focal + center
     if return_local_points:
-        return pixels, local.reshape(*batch_shape, 3)
-    return pixels
+        return rc.reshape(*lead, 2), cam.reshape(*lead, 3)
+    return rc.reshape(*lead, 2)
 
 
 def pixel_to_local_rays(pixels, intr, shape):
-    x = (pixels[..., 1] - shape[1] * 0.5) / intr[0, 0]
-    y = (pixels[..., 0] - shape[0] * 0.5) / intr[1, 1]
-    return np.stack([x, y, np.ones_like(x)], axis=-1)
+    """(row, col) pixels -> camera-space ray directions at z=1."""
+    focal, center = _rc_focal_center(intr, shape)
+    rc = (np.asarray(pixels) - center) / focal
+    return np.stack([rc[..., 1], rc[..., 0], np.ones_like(rc[..., 0])], axis=-1)
 
 
 def pixels_to_points(pixels, depth, intr, extr, shape):
     """Lift (row, col) pixels with depth to world points (warp_mesh.py:86-94)."""
-    local = pixel_to_local_rays(pixels, intr, shape) * depth[..., None]
-    rot = extr[:3, :3]
-    trans = extr[:3, 3]
-    return (rot.T @ (local - trans).T).T
+    cam = pixel_to_local_rays(pixels, intr, shape) * np.asarray(depth)[..., None]
+    # invert local = R p + t  ->  p = (local - t) R  (row-vector form of R^T x)
+    return (cam - extr[:3, 3]) @ extr[:3, :3]
 
 
 def query_at_image(image, pix, return_valid=False):
-    """Nearest-pixel lookup with clamping (warp_mesh.py:106-118)."""
-    pix_i = np.int32(pix + 0.5)
-    lim = np.int32(image.shape[:2]) - 1
-    pix_clip = np.clip(pix_i, 0, lim)
-    vals = image[pix_clip[:, 0], pix_clip[:, 1]]
+    """Nearest-pixel lookup with edge clamping (warp_mesh.py:106-118).
+
+    Rounding is trunc(pix + 0.5) — round-half-up for in-bounds coordinates,
+    matching the reference's int cast for its (rare) small-negative inputs."""
+    rounded = np.trunc(np.asarray(pix) + 0.5).astype(np.int64)
+    bound = np.asarray(image.shape[:2]) - 1
+    safe = np.clip(rounded, 0, bound)
+    vals = image[safe[:, 0], safe[:, 1]]
     if return_valid:
-        ok = (pix_i == pix_clip).all(axis=-1)
-        return vals, ok
+        inside = (rounded >= 0).all(axis=-1) & (rounded <= bound).all(axis=-1)
+        return vals, inside
     return vals
 
 
 def get_depth_edge(depth, ker_size=9, max_depth=None):
     """Depth-edge map = local variance via box filters (warp_mesh.py:120-130)."""
     if max_depth is None:
-        valid = depth[depth < 10]
-        max_depth = (valid.max() if valid.size else 10.0) * 1.1
+        fg = depth[depth < 10]
+        max_depth = (fg.max() if fg.size else 10.0) * 1.1
     d = np.minimum(depth, max_depth).astype(np.float32)
-    mean = cv2.blur(d, (ker_size, ker_size))
-    seq_mean = cv2.blur(d * d, (ker_size, ker_size))
-    return np.maximum(seq_mean - mean * mean, 0)
+    k = (ker_size, ker_size)
+    return np.maximum(cv2.blur(d * d, k) - cv2.blur(d, k) ** 2, 0)
 
 
 def pad_and_resize_flow(flow, pad, shape):
-    """Undo the 0.5x-resolution padding of the RAFT flow (warp_mesh.py:96-103)."""
+    """Undo RAFT's half-res crop: zero-pad back to the half-res frame, scale the
+    vectors by the resolution ratio, nearest-resize to `shape` (warp_mesh.py:96)."""
     if pad is not None:
-        pad = (np.append(pad, [0, 0])).reshape(-1, 2)
-        flow = np.pad(flow, pad_width=np.int32(pad), mode="constant")
-    scalar = shape[0] / flow.shape[0]
-    flow = flow * scalar
-    return cv2.resize(flow, tuple(int(s) for s in shape[::-1]), interpolation=cv2.INTER_NEAREST)
+        top, bot, left, right = (int(p) for p in np.ravel(pad)[:4])
+        flow = np.pad(flow, ((top, bot), (left, right), (0, 0)))
+    ratio = shape[0] / flow.shape[0]
+    size_wh = (int(shape[1]), int(shape[0]))
+    return cv2.resize(flow * ratio, size_wh, interpolation=cv2.INTER_NEAREST)
 
 
 def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:

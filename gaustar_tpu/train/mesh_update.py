@@ -72,6 +72,7 @@ def extract_mesh_fusion(
     """TSDF-fuse rendered RGB-D into a mesh (refined_mesh.py:311-459)."""
     pts = np.asarray(sugar.gaussian_centers(params, config))
     vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
+    volume_truncated = bool(getattr(vol, "truncated", False))  # jit copies drop the flag
 
     cam_list = []
     n_rig = np.asarray(cameras.fx).shape[0]
@@ -113,7 +114,9 @@ def extract_mesh_fusion(
     face_colors = (
         colors[faces].mean(axis=1) if (colors is not None and len(faces)) else np.zeros((len(faces), 3))
     )
-    return surgery.Mesh(verts.astype(np.float64), faces.astype(np.int64), face_colors)
+    mesh = surgery.Mesh(verts.astype(np.float64), faces.astype(np.int64), face_colors)
+    mesh.volume_truncated = volume_truncated
+    return mesh
 
 
 def get_color_mesh(params: sugar.SuGaRParams, config: sugar.SuGaRConfig) -> surgery.Mesh:
@@ -140,11 +143,14 @@ def update_mesh_with_fusion(
     ng = config.n_gaussians_per_face
     gs_pts = np.asarray(sugar.gaussian_centers(params, config)).reshape(-1, ng, 3)
 
+    fusion_truncated = bool(getattr(fusion_mesh, "volume_truncated", False))
+
     best = None
     for pad in aabb_pads:
         out = surgery.update_mesh_topo(
             base, fusion_mesh, face_delta, gauss_points=gs_pts, aabb_pad=pad, **kwargs
         )
+        out["fusion_volume_truncated"] = fusion_truncated
         if out.get("cc_update_num", 0) in (-1,):
             return out  # nothing flagged at all
         if out.get("cc_update_num", 0) <= 0:
@@ -152,4 +158,6 @@ def update_mesh_with_fusion(
         if best is None or out["max_dist_in_connection"] < best["max_dist_in_connection"]:
             best = out
             best["aabb_pad"] = pad
-    return best if best is not None else {"cc_update_num": 0}
+    if best is not None:
+        return best
+    return {"cc_update_num": 0, "fusion_volume_truncated": fusion_truncated}

@@ -162,6 +162,10 @@ def compute_losses(
         rgb = losses.rgb_loss(img, gt, cfg.dssim_factor)
     loss = rgb
     loss_dict["rgb_loss"] = rgb
+    # Capacity telemetry: lets the host loop auto-grow the raster config on
+    # overflow instead of silently truncating (see refine_frame).
+    loss_dict["num_pairs"] = _aux.num_pairs
+    loss_dict["num_padded"] = _aux.num_padded
 
     # --- depth + mask (refine.py:599-660) ---
     depth_on = iteration > cfg.depth_loss_from
@@ -364,5 +368,31 @@ def refine_frame(
             history.append(entry)
             if log_fn:
                 log_fn(entry)
+
+            # Capacity auto-retry (host-level): if the render truncated pairs,
+            # double the raster capacities and re-jit the step. The CUDA path
+            # sizes its buffers exactly per call (rasterizer_impl.cu:277-303);
+            # our static shapes grow on demand instead.
+            from gaustar_tpu.ops import binning as _binning
+
+            H = int(data.gt_images.shape[1])
+            W = int(data.gt_images.shape[2])
+            from gaustar_tpu.ops.projection import TILE as _TILE
+
+            n_tiles = ((W + _TILE - 1) // _TILE) * ((H + _TILE - 1) // _TILE)
+            cap = _binning.default_capacity(
+                raster_cfg.max_pairs, n_tiles, raster_cfg.chunk, raster_cfg.max_padded
+            )
+            if entry["num_pairs"] > raster_cfg.max_pairs or entry["num_padded"] > cap:
+                new_pairs = max(2 * raster_cfg.max_pairs, int(entry["num_pairs"]))
+                new_padded = raster_cfg.max_padded
+                if new_padded is not None:
+                    new_padded = max(2 * new_padded, int(entry["num_padded"]))
+                raster_cfg = dataclasses.replace(
+                    raster_cfg, max_pairs=new_pairs, max_padded=new_padded
+                )
+                step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+                if log_fn:
+                    log_fn({"iteration": it, "capacity_retry_max_pairs": new_pairs})
 
     return params, model_config, history

@@ -94,3 +94,21 @@ def test_capacity_overflow_reported():
     cfg = RasterConfig(max_pairs=64, chunk=16, max_per_tile=32, impl="jax")
     _, aux = _render(cfg, *scene, cam)
     assert int(aux.num_pairs) > 64  # truncated render, but flagged
+
+
+def test_capacity_auto_retry_recovers():
+    """Auto-retry from a deliberately tiny capacity yields the un-truncated image."""
+    from gaustar_tpu.ops.rasterizer import rasterize_auto
+
+    cam = _camera()
+    means, scales, quats, opac, colors = _scene(200, seed=4, spread=0.2)
+    cov3d = quat_scale_to_cov3d(scales, quats)
+    img_ref, _ = _render(CFG_DENSE, means, scales, quats, opac, colors, cam)
+
+    tiny = RasterConfig(max_pairs=64, chunk=16, max_per_tile=2048, impl="jax")
+    img, aux, used = rasterize_auto(
+        means, cov3d, opac, colors, cam, bg=(0.1, 0.2, 0.3), config=tiny
+    )
+    assert used.max_pairs > 64
+    assert int(aux.num_pairs) <= used.max_pairs
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref), atol=2e-5)
