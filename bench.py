@@ -1,25 +1,91 @@
-"""Benchmark: Mpix/s forward+backward per chip on a 1.6 MP multiview render.
+"""Benchmark: the REAL refine training step at reference scale.
 
-The north-star metric of BASELINE.json. Runs the FULL differentiable pipeline
-(SuGaR mesh-bound model -> preprocess -> binning -> Pallas blend -> rgb loss ->
-analytic backward through all of it -> per-parameter grads) K times inside one
-jitted fori_loop on the real TPU and reports Mpix/s of fwd+bwd.
+What is timed (one step = one iteration of gaustar_trainers/refine.py:529-841):
+  - SuGaR mesh-bound model: 100,000-face mesh x 6 gaussians/face = 600,000
+    gaussians (README.md:270, train_seq.py:43-44)
+  - RGB rasterizer pass at 1.6 MP + margin-masked 0.8*L1 + 0.2*DSSIM (SSIM
+    window convs included)
+  - SECOND rasterizer pass for depth (view-space z as color) + depth/mask losses
+  - mesh losses: normal consistency, edge-iso, area-iso over the 100k-face mesh
+  - full backward through all of it + named-group Adam update
+  - cameras CYCLE per step (not one pinned camera)
 
-vs_baseline compares against a 7.5 Mpix/s fwd+bwd estimate for the reference
-CUDA pipeline (2000-iteration refine of a ~1.5 MP frame in a few minutes on one
-GPU; the repo publishes no numbers — BASELINE.md).
+Metric: Mpix/s of fwd+bwd per chip = H*W / step_time. NOTE one step rasterizes
+the frame TWICE; the per-pass rasterizer throughput is ~2x the reported number.
+vs_baseline compares against a 7.5 Mpix/s estimate for the reference CUDA
+pipeline (2000-iteration refine of a ~1.5 MP frame in a few minutes on one GPU;
+the repo publishes no numbers — BASELINE.md). See ROOFLINE.md for the HBM/flops
+budget behind the number.
+
+Env knobs: GAUSTAR_BENCH_DETAIL=1 additionally times preprocess/binning/blend
+stages separately and writes BENCH_DETAIL.json (stdout stays one JSON line).
 
 NOTE (axon tunnel): jax.block_until_ready does not synchronize; timing forces a
 host fetch of a scalar and amortizes the RPC floor over K on-device iterations.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_MPIX_S = 7.5
+W, H = 1600, 1024  # 1.6 MP (ActorsHQ 4x rig is ~1.5 MP/view, cameras.py:20)
+N_LAT, N_LON = 201, 250  # 2*250*200 = 100,000 faces -> 600,000 gaussians
+K = 8  # timed steps per measurement
+
+
+def build_scene():
+    import jax.numpy as jnp
+
+    from gaustar_tpu.cameras import stack_cameras
+    from gaustar_tpu.mesh.primitives import uv_sphere
+    from gaustar_tpu.mesh.topology import build_topology
+    from gaustar_tpu.models import sugar
+    from gaustar_tpu.ops.losses import edge_lengths, face_areas_normals
+    from gaustar_tpu.ops.rasterizer import RasterConfig
+    from gaustar_tpu.train.refine import FrameData, compute_margins
+    from gaustar_tpu.utils.synthetic import ring_cameras
+
+    verts, faces = uv_sphere(N_LAT, N_LON, radius=0.6, center=(0.0, 0.0, 4.0))
+    rng = np.random.default_rng(0)
+    colors = rng.uniform(0.2, 0.9, size=(len(verts), 3)).astype(np.float32)
+    params, config = sugar.init_sugar(verts, faces, vertex_colors=colors)
+
+    cams = ring_cameras(4, w=W, h=H, focal=1600.0)
+    batch = stack_cameras(cams)
+
+    # Synthetic GT (content does not affect step cost): gray foreground inside
+    # the projected sphere disc, green-screen background; depth 4 m fg / 10.5 bg.
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    r_px = 1600.0 * 0.6 / 3.4  # projected sphere radius upper bound
+    disc = ((xx - W / 2) ** 2 + (yy - H / 2) ** 2) < r_px**2
+    gt = np.where(disc[..., None], 0.5, np.array([0.0, 1.0, 0.0], np.float32))
+    gt_img = np.broadcast_to(gt, (4, H, W, 3)).astype(np.float32)
+    gt_depth = np.where(disc, 4.0, 10.5).astype(np.float32)
+    gt_depth = np.broadcast_to(gt_depth, (4, H, W))
+
+    topo = build_topology(np.asarray(faces), len(verts))
+    ref_edge_len = np.asarray(edge_lengths(jnp.asarray(verts), jnp.asarray(topo.edges)))
+    ref_area, _ = face_areas_normals(jnp.asarray(verts), jnp.asarray(faces))
+    margins = compute_margins(np.asarray(batch.cx), np.asarray(batch.cy), W, H)
+
+    data = FrameData(
+        cameras=batch,
+        gt_images=jnp.asarray(gt_img),
+        gt_depths=jnp.asarray(gt_depth),
+        margins=jnp.asarray(margins),
+        ref_edge_len=jnp.asarray(ref_edge_len),
+        ref_area=jnp.asarray(ref_area),
+        edges=jnp.asarray(topo.edges),
+        adj_faces=jnp.asarray(topo.adj_faces),
+    )
+    raster_cfg = RasterConfig(
+        max_pairs=1 << 22, max_padded=(1 << 22) + (1 << 21), chunk=256, impl="pallas"
+    )
+    return params, config, data, raster_cfg
 
 
 def main():
@@ -27,67 +93,128 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from gaustar_tpu.cameras import Camera
-    from gaustar_tpu.mesh.primitives import icosphere
-    from gaustar_tpu.models import sugar
-    from gaustar_tpu.ops.rasterizer import RasterConfig
-    from gaustar_tpu.utils.synthetic import ring_cameras
+    from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
+    from gaustar_tpu.train.refine import RefineConfig, compute_losses
 
-    W, H = 1600, 1024  # 1.6 MP
-    SUBDIV = 5  # 20480 faces -> 122,880 gaussians at 6/face
-    K = 8
+    t_setup = time.time()
+    params, config, data, raster_cfg = build_scene()
+    cfg = RefineConfig(num_iterations=2000, loose_bind_from=10**9, do_sh_warmup=False)
+    optimizer = make_sugar_optimizer(OptimizationParams(), 1.0)
+    opt_state = optimizer.init(params)
+    n_g = params.scales.shape[0]
+    uw = jnp.zeros((n_g,), jnp.float32)
+    pre = params.sh_dc[:, 0, :] * 0.0
+    setup_s = time.time() - t_setup
 
-    verts, faces = icosphere(SUBDIV, radius=0.6, center=(0.0, 0.0, 4.0))
-    rng = np.random.default_rng(0)
-    colors = rng.uniform(0.2, 0.9, size=(len(verts), 3)).astype(np.float32)
-    params, config = sugar.init_sugar(verts, faces, vertex_colors=colors)
-    cameras = ring_cameras(4, w=W, h=H, focal=1600.0)
-    raster_cfg = RasterConfig(
-        max_pairs=1 << 19, max_padded=1 << 20, chunk=256, impl="pallas"
-    )
+    def one_step(params, opt_state, it):
+        cam_idx = jnp.mod(it, 4)
 
-    target = jnp.zeros((H, W, 3)) + 0.5
+        def loss_fn(p):
+            return compute_losses(
+                p, config, data, cam_idx, it, cfg, raster_cfg, 2, uw, pre
+            )
 
-    def loss_fn(params, camera, eps):
-        img, _ = sugar.render(
-            params, config, camera, bg=(0.0, 1.0, 0.0), sh_deg=2, raster_config=raster_cfg
-        )
-        return ((img - target) ** 2).mean() + eps
+        (loss, _ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
 
-    def step_loss(params, camera, eps):
-        l, g = jax.value_and_grad(loss_fn)(params, camera, eps)
-        return l + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
-
-    camera = cameras[0]
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
     @jax.jit
-    def run(params):
-        def body(i, acc):
-            return acc + step_loss(params, camera, i * 1e-12)
+    def run(params, opt_state):
+        def body(i, carry):
+            p, o, acc = carry
+            p, o, loss = one_step(p, o, i)
+            return (p, o, acc + loss)
 
-        return lax.fori_loop(0, K, body, jnp.float32(0.0))
+        p, o, acc = lax.fori_loop(0, K, body, (params, opt_state, jnp.float32(0.0)))
+        return acc
 
-    # Compile + warm up (host fetch forces sync through the tunnel).
     t0 = time.time()
-    _ = float(run(params))
+    _ = float(run(params, opt_state))  # compile + first K steps; fetch = sync
     compile_s = time.time() - t0
 
     t0 = time.time()
-    _ = float(run(params))
+    _ = float(run(params, opt_state))
     dt = (time.time() - t0) / K
     mpix_s = W * H / dt / 1e6
 
     result = {
-        "metric": "Mpix/s fwd+bwd per chip (1.6MP SuGaR render, 123k gaussians)",
+        "metric": "Mpix/s full refine step per chip (600k gaussians, 1.6MP, RGB+depth passes, SSIM+mesh losses, Adam)",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_MPIX_S, 3),
     }
     print(json.dumps(result))
     print(
-        f"# step {dt*1e3:.1f} ms, compile {compile_s:.0f}s, backend={jax.default_backend()}",
+        f"# step {dt*1e3:.1f} ms, compile {compile_s:.0f}s, setup {setup_s:.0f}s, "
+        f"backend={jax.default_backend()}, n_gauss={n_g}",
         file=sys.stderr,
     )
+
+    if os.environ.get("GAUSTAR_BENCH_DETAIL"):
+        detail = bench_detail(params, config, data, raster_cfg, dt)
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2)
+        print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+
+
+def bench_detail(params, config, data, raster_cfg, full_step_s):
+    """Per-stage timing: preprocess+binning / blend fwd / whole render fwd /
+    render fwd+bwd — isolates where the step time goes (ROOFLINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gaustar_tpu.cameras import index_camera
+    from gaustar_tpu.models import sugar
+    from gaustar_tpu.ops import binning
+    from gaustar_tpu.ops.projection import TILE, preprocess
+    from gaustar_tpu.ops.sh import eval_sh
+    from gaustar_tpu.utils.profiling import loop_bench
+
+    camera = index_camera(data.cameras, 0)
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+
+    centers = sugar.gaussian_centers(params, config)
+    cov3d = sugar.covariances(params, config)
+    opac = sugar.strengths(params)
+    col = jnp.ones((centers.shape[0], 3), jnp.float32) * 0.5
+
+    def prep_bin(i, m, c, o, f):
+        g = preprocess(m + i * 0.0, c, o, f, camera)
+        b = binning.bin_gaussians(g, grid_x, grid_y, raster_cfg.max_pairs, raster_cfg.chunk, raster_cfg.max_padded)
+        pd = binning.gather_pair_data(g, b)
+        return pd.sum() + b.num_pairs.astype(jnp.float32)
+
+    def fwd(i, m):
+        img, _ = sugar.render(
+            params._replace(points=params.points + i * 0.0), config, camera,
+            bg=(0.0, 1.0, 0.0), sh_deg=2, raster_config=raster_cfg,
+        )
+        return img.sum()
+
+    def fwdbwd(i, _m):
+        def loss(p):
+            img, _ = sugar.render(p, config, camera, bg=(0.0, 1.0, 0.0), sh_deg=2, raster_config=raster_cfg)
+            return ((img - 0.5) ** 2).mean() + i * 1e-12
+
+        l, g = jax.value_and_grad(loss)(params)
+        return l + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+
+    t_pb = loop_bench(prep_bin, centers, cov3d, opac, col, iters=8)
+    t_fwd = loop_bench(fwd, centers, iters=8)
+    t_fb = loop_bench(fwdbwd, centers, iters=8)
+    return {
+        "full_step_s": round(full_step_s, 5),
+        "preprocess_binning_s": round(t_pb, 5),
+        "render_fwd_s": round(t_fwd, 5),
+        "render_fwdbwd_s": round(t_fb, 5),
+        "blend_fwd_est_s": round(t_fwd - t_pb, 5),
+        "note": "full step = 2 renders fwd+bwd + SSIM + mesh losses + Adam",
+    }
 
 
 if __name__ == "__main__":

@@ -43,19 +43,24 @@ def main():
 
     n_dev_total = jax.device_count()
     sizes = [n for n in [1, 2, 4, 8, 16] if n <= n_dev_total]
+    cams_per_device = int(os.environ.get("GAUSTAR_SCALING_CAMS_PER_DEVICE", "2"))
 
-    raster_cfg = RasterConfig(max_pairs=1 << 14, chunk=32, max_per_tile=512, impl="jax")
+    # The PRODUCTION blend kernel (pallas; interpret-mode on CPU devices) so the
+    # scaling path exercises the same code the chip runs.
+    raster_cfg = RasterConfig(max_pairs=1 << 14, chunk=32, max_per_tile=512, impl="pallas")
     results = {}
     for n in sizes:
         params, config, data, _t, _ = synthetic_frame(
-            n_cams=n, w=64, h=64, subdiv=2, raster_cfg=raster_cfg
+            n_cams=n * cams_per_device, w=64, h=64, subdiv=2,
+            raster_cfg=RasterConfig(max_pairs=1 << 14, chunk=32, max_per_tile=512, impl="jax"),
         )
         cfg = RefineConfig(num_iterations=4, loose_bind_from=10_000)
         optimizer = make_sugar_optimizer(OptimizationParams(), 1.0)
         opt_state = optimizer.init(params)
         mesh = make_camera_mesh(n)
         step = make_sharded_train_step(config, data, cfg, raster_cfg, optimizer, mesh)(sh_deg=0)
-        cam_idx = jnp.zeros((n, 1), jnp.int32)
+        # Each device scans its B local cameras per step.
+        cam_idx = jnp.tile(jnp.arange(cams_per_device, dtype=jnp.int32)[None, :], (n, 1))
         uw = jnp.zeros((params.scales.shape[0],), jnp.float32)
         pre = params.sh_dc[:, 0, :] * 0.0
         # compile + warmup
@@ -71,13 +76,27 @@ def main():
 
     base = results[sizes[0]]
     eff = {n: round(base / results[n], 3) for n in sizes}
+    # Virtual CPU devices time-share physical cores: efficiency measured beyond
+    # n_cores is an artifact of oversubscription, not of the collective design.
+    # Headline = largest device count that still has a core per device.
+    n_cores = os.cpu_count() or 1
+    honest_sizes = [n for n in sizes if backend != "cpu" or n <= n_cores]
+    headline = honest_sizes[-1] if honest_sizes else sizes[-1]
     out = {
-        "metric": "camera-sharded step scaling efficiency (N devices, 1 camera/device)",
-        "value": eff[sizes[-1]],
+        "metric": f"camera-sharded step scaling efficiency ({headline} devices, {cams_per_device} cameras/device, pallas blend)",
+        "value": eff[headline],
         "unit": "efficiency",
-        "vs_baseline": eff[sizes[-1]] / 0.85,
-        "detail": {str(n): {"step_s": round(results[n], 4), "efficiency": eff[n]} for n in sizes},
+        "vs_baseline": eff[headline] / 0.85,
+        "detail": {
+            str(n): {
+                "step_s": round(results[n], 4),
+                "efficiency": eff[n],
+                **({"oversubscribed": True} if backend == "cpu" and n > n_cores else {}),
+            }
+            for n in sizes
+        },
         "backend": jax.default_backend(),
+        "n_cores": n_cores,
     }
     print(json.dumps(out))
 

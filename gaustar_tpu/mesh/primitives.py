@@ -51,6 +51,41 @@ def icosphere(subdivisions: int = 1, radius: float = 1.0, center=(0.0, 0.0, 0.0)
     return verts.astype(np.float32), faces.astype(np.int32)
 
 
+def uv_sphere(n_lat: int, n_lon: int, radius: float = 1.0, center=(0.0, 0.0, 0.0)):
+    """Lat-long sphere with EXACTLY 2 * n_lon * (n_lat - 1) faces
+    (reference-scale benchmark meshes need precise face counts,
+    e.g. 100k = 2 * 250 * (201 - 1)).
+
+    Rows 1..n_lat-1 are rings of n_lon verts; poles cap the ends.
+    Returns (verts [V,3] f32, faces [F,3] i32)."""
+    ring_rows = n_lat - 1
+    theta = np.pi * np.arange(1, n_lat) / n_lat  # [ring_rows]
+    phi = 2.0 * np.pi * np.arange(n_lon) / n_lon  # [n_lon]
+    st, ct = np.sin(theta)[:, None], np.cos(theta)[:, None]
+    sp, cp = np.sin(phi)[None, :], np.cos(phi)[None, :]
+    rings = np.stack([st * cp, ct * np.ones_like(sp), st * sp], axis=-1).reshape(-1, 3)
+    verts = np.concatenate([[[0.0, 1.0, 0.0]], rings, [[0.0, -1.0, 0.0]]], axis=0)
+
+    def rid(r, c):  # ring r in [0, ring_rows), col c mod n_lon
+        return 1 + r * n_lon + (c % n_lon)
+
+    faces = []
+    for c in range(n_lon):  # north cap
+        faces.append([0, rid(0, c), rid(0, c + 1)])
+    for r in range(ring_rows - 1):  # quad strips
+        for c in range(n_lon):
+            a, b = rid(r, c), rid(r, c + 1)
+            d, e = rid(r + 1, c), rid(r + 1, c + 1)
+            faces += [[a, d, b], [b, d, e]]
+    south = len(verts) - 1
+    for c in range(n_lon):  # south cap
+        faces.append([south, rid(ring_rows - 1, c + 1), rid(ring_rows - 1, c)])
+
+    verts = verts * radius + np.asarray(center, np.float64)
+    faces = np.asarray(faces, np.int32)[:, ::-1]  # outward winding
+    return verts.astype(np.float32), np.ascontiguousarray(faces)
+
+
 def grid_mesh(nx: int, ny: int, scale: float = 1.0, z: float = 0.0):
     """Planar triangulated grid: ((nx+1)*(ny+1) verts, 2*nx*ny faces)."""
     xs = np.linspace(-scale, scale, nx + 1)

@@ -26,9 +26,11 @@ class TileRender(NamedTuple):
     n_contrib: jnp.ndarray  # [T, P] int32 (1-based)
 
 
-def tile_pixel_coords(grid_x: int, grid_y: int):
-    """Pixel centers for each tile, [T, P, 2] float32 (row-major within tile)."""
-    t = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+def tile_pixel_coords(grid_x: int, n_tiles: int, tile_offset=0):
+    """Pixel centers for tiles [tile_offset, tile_offset + n_tiles), [T, P, 2]
+    float32 (row-major within tile). `tile_offset` may be traced (used by the
+    gaussian-axis sharded path where each device owns a strip of tiles)."""
+    t = jnp.arange(n_tiles, dtype=jnp.int32) + tile_offset
     tx = t % grid_x
     ty = t // grid_x
     flat = jnp.arange(TILE * TILE, dtype=jnp.int32)
@@ -39,27 +41,29 @@ def tile_pixel_coords(grid_x: int, grid_y: int):
     return jnp.stack([px, py], axis=-1).astype(jnp.float32)
 
 
-def blend_tiles_jax(
+def blend_tile_range(
     pair_data: jnp.ndarray,  # [F, cap] (SoA, see binning.gather_pair_data)
-    binned: BinnedPairs,
+    tile_start: jnp.ndarray,  # [T_local] start of each tile's segment in pair_data
+    tile_count: jnp.ndarray,  # [T_local] true pair count per tile
     grid_x: int,
-    grid_y: int,
     max_per_tile: int,
     channels: int = 3,
+    tile_offset=0,
 ) -> TileRender:
-    """Dense per-tile blend. `max_per_tile` is the static per-tile pair capacity:
-    tiles with more pairs are truncated (report via binned counts; raise capacity)."""
-    n_tiles = grid_x * grid_y
+    """Dense blend of a contiguous range of tiles. `max_per_tile` is the static
+    per-tile pair capacity: tiles with more pairs are truncated (report via
+    binned counts; raise capacity)."""
     cap = pair_data.shape[1]
+    n_local = tile_start.shape[0]
 
     k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    idx = binned.tile_start[:, None] + k[None, :]  # [T, K]
-    in_seg = k[None, :] < jnp.minimum(binned.tile_count[:, None], max_per_tile)
+    idx = tile_start[:, None] + k[None, :]  # [T, K]
+    in_seg = k[None, :] < jnp.minimum(tile_count[:, None], max_per_tile)
     idx = jnp.minimum(idx, cap - 1)
     sub = pair_data.T[idx]  # [T, K, F] differentiable gather
     sub = jnp.where(in_seg[..., None], sub, 0.0)
 
-    pix = tile_pixel_coords(grid_x, grid_y)  # [T, P, 2]
+    pix = tile_pixel_coords(grid_x, n_local, tile_offset)  # [T, P, 2]
 
     def blend_one(tile_pairs, tile_pix):
         # tile_pairs: [K, F], tile_pix: [P, 2]
@@ -81,6 +85,21 @@ def blend_tiles_jax(
 
     color, final_t, n_contrib = jax.vmap(blend_one)(sub, pix)
     return TileRender(color=color, final_T=final_t, n_contrib=n_contrib)
+
+
+def blend_tiles_jax(
+    pair_data: jnp.ndarray,  # [F, cap] (SoA, see binning.gather_pair_data)
+    binned: BinnedPairs,
+    grid_x: int,
+    grid_y: int,
+    max_per_tile: int,
+    channels: int = 3,
+) -> TileRender:
+    """Dense per-tile blend over the full grid (see blend_tile_range)."""
+    del grid_y  # implied by len(binned.tile_start)
+    return blend_tile_range(
+        pair_data, binned.tile_start, binned.tile_count, grid_x, max_per_tile, channels
+    )
 
 
 def assemble_image(tiles: jnp.ndarray, grid_x: int, grid_y: int, width: int, height: int):

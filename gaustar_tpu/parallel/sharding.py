@@ -83,14 +83,7 @@ def make_sharded_train_step(
             )
             return carry + loss, None
 
-        # The scan carry is device-varying inside shard_map (each device sums its
-        # own cameras) — mark it so the vma type check passes.
-        init = jnp.float32(0.0)
-        try:
-            init = jax.lax.pcast(init, ("cam",), to="varying")
-        except AttributeError:
-            init = jax.lax.pvary(init, ("cam",))
-        total, _ = jax.lax.scan(one, init, cam_idx_vec)
+        total, _ = jax.lax.scan(one, jnp.float32(0.0), cam_idx_vec)
         return total / cam_idx_vec.shape[0]
 
     def make_step(sh_deg: int):
@@ -99,6 +92,10 @@ def make_sharded_train_step(
             mesh=mesh,
             in_specs=(P(), data_specs, P("cam"), P(), P(), P()),
             out_specs=(P(), P()),
+            # The Pallas blend's pallas_call cannot declare varying-axes (vma)
+            # metadata on its outputs, so the vma type check is off; collective
+            # placement (pmean of loss+grads) is explicit below.
+            check_vma=False,
         )
         def grad_shard(params, local_data, cam_idx, iteration, unbind_weight, pre_sh_dc):
             loss, grads = jax.value_and_grad(local_loss)(

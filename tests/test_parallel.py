@@ -43,3 +43,40 @@ def test_sharded_step_runs_and_matches_single():
     # A second step must actually change parameters everywhere.
     assert not np.allclose(np.asarray(p1.points), np.asarray(params.points))
     assert not np.allclose(np.asarray(p1.sh_dc), np.asarray(params.sh_dc))
+
+
+def test_gauss_sharded_render_matches_single_device():
+    """Gaussian-axis model parallelism: 8-device sharded render == 1-device."""
+    from gaustar_tpu.cameras import Camera
+    from gaustar_tpu.ops.projection import quat_scale_to_cov3d
+    from gaustar_tpu.ops.rasterizer import RasterConfig, rasterize
+    from gaustar_tpu.parallel.gauss_shard import make_gauss_mesh, render_gauss_sharded
+
+    n_dev = min(8, jax.device_count())
+    rng = np.random.default_rng(7)
+    n = 150  # deliberately not divisible by 8 (exercises padding)
+    means = np.concatenate(
+        [rng.normal(scale=0.5, size=(n, 2)), 4.0 + rng.uniform(0, 2, size=(n, 1))], axis=1
+    ).astype(np.float32)
+    scales = np.exp(rng.normal(loc=-2.2, scale=0.4, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = (1.0 / (1.0 + np.exp(-rng.normal(size=(n,))))).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    cov3d = quat_scale_to_cov3d(jnp.asarray(scales), jnp.asarray(quats))
+    cam = Camera.from_w2c(np.eye(4), 60.0, 60.0, 24.0, 32.0, 48, 64)
+    bg = (0.1, 0.2, 0.3)
+
+    cfg = RasterConfig(max_pairs=1 << 14, chunk=32, max_per_tile=512, impl="jax")
+    img_ref, aux = rasterize(
+        jnp.asarray(means), cov3d, jnp.asarray(opac), jnp.asarray(colors), cam, bg=bg, config=cfg
+    )
+    assert int(aux.num_pairs) < cfg.max_pairs
+
+    mesh = make_gauss_mesh(n_dev)
+    img, num_pairs = render_gauss_sharded(
+        jnp.asarray(means), cov3d, jnp.asarray(opac), jnp.asarray(colors), cam, mesh,
+        bg=bg, max_pairs_per_device=1 << 12, max_per_tile=512,
+    )
+    assert int(num_pairs) == int(aux.num_pairs)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref), atol=2e-5)
