@@ -179,7 +179,7 @@ def bench_detail(params, config, data, raster_cfg, full_step_s):
     grid_y = (H + TILE - 1) // TILE
 
     centers = sugar.gaussian_centers(params, config)
-    cov3d = sugar.covariances(params, config)
+    cov3d = sugar.cov3d(params, config)
     opac = sugar.strengths(params)
     col = jnp.ones((centers.shape[0], 3), jnp.float32) * 0.5
 
@@ -190,9 +190,11 @@ def bench_detail(params, config, data, raster_cfg, full_step_s):
         return pd.sum() + b.num_pairs.astype(jnp.float32)
 
     def fwd(i, m):
+        import dataclasses
+
+        p = dataclasses.replace(params, points=params.points + i * 0.0)
         img, _ = sugar.render(
-            params._replace(points=params.points + i * 0.0), config, camera,
-            bg=(0.0, 1.0, 0.0), sh_deg=2, raster_config=raster_cfg,
+            p, config, camera, bg=(0.0, 1.0, 0.0), sh_deg=2, raster_config=raster_cfg
         )
         return img.sum()
 

@@ -137,16 +137,19 @@ def main():
         # meter-scale captures; on this 0.5-radius scene they would graft a
         # ~1M-face patch and OOM the re-refine.
         fusion_voxel_size=0.015, fusion_simplify_face_num=20_000,
+        fusion_solid_opacity=0.995,
     )
-    # Scale-adapted thresholds: the reference defaults assume 1.5 MP rigs with
-    # mm-scale triangles; this demo is 256^2 with ~3 cm triangles.
+    # REFERENCE detection constants (refined_mesh.py:724-726,796-804):
+    # depth_scalar=3 and the 5 mm depth_agreement work even at this scale and
+    # half-budget because detect_topo_err (a) composites residual transmittance
+    # onto the surface, (b) saturates opacities for its geometry renders, and
+    # (c) samples depth bilinearly (see TopoDetectConfig). Only the edge-variance
+    # normalization and voxel pooling stay scale-adapted: both are resolution/
+    # metric-scale dependent by construction.
     dcfg = topo_detect.TopoDetectConfig(
+        depth_scalar=3.0, depth_agreement=0.005,
         min_observe=3, mesh_prop=10, detect_floor=False,
-        depth_agreement=0.05, edge_threshold=0.6, voxel_size=0.05,
-        # depth_scalar 1 (reference: 3): detection runs at iters/2 where the
-        # alpha-blended depth still carries residual-transmittance bias toward
-        # the far background; the blob's ~0.3 depth contrast still flags.
-        depth_scalar=1.0,
+        edge_threshold=0.6, edge_scalar=200.0, voxel_size=0.05,
     )
     # max_move small: with synthetic zero flow, the occlusion rejection that
     # real bidirectional RAFT flow provides is absent, so keep lifted motion

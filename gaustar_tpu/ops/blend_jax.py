@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from gaustar_tpu.ops.binning import BinnedPairs
 from gaustar_tpu.ops.projection import TILE
-from gaustar_tpu.ops.rasterizer_ref import blend_prefix_ops
+from gaustar_tpu.ops.rasterizer_ref import blend_prefix_ops, clamp_alpha_ste
 
 
 class TileRender(NamedTuple):
@@ -72,7 +72,7 @@ def blend_tile_range(
         A, B, C = tile_pairs[:, 2:3], tile_pairs[:, 3:4], tile_pairs[:, 4:5]
         opac = tile_pairs[:, 5:6]
         power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
-        araw = jnp.minimum(0.99, opac * jnp.exp(power))
+        araw = clamp_alpha_ste(opac * jnp.exp(power))
         contrib = (power <= 0.0) & (araw >= 1.0 / 255.0)
         a0 = jnp.where(contrib, araw, 0.0)
         a_eff, t_before, included = blend_prefix_ops(a0, contrib)

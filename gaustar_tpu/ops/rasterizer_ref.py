@@ -38,6 +38,20 @@ class RenderOutput(NamedTuple):
         return self.color + self.final_T[..., None] * jnp.asarray(bg, jnp.float32)
 
 
+def clamp_alpha_ste(alpha: jnp.ndarray) -> jnp.ndarray:
+    """min(0.99, alpha) with a straight-through gradient.
+
+    backward.cu:477-508 recomputes alpha = min(0.99, opacity * G) but then emits
+    dL/dopacity = G * dL/dalpha and dL/dG = opacity * dL/dalpha UNCONDITIONALLY —
+    the CUDA backward never zeroes the gradient where the 0.99 clamp is active.
+    Plain autodiff of jnp.minimum would; this helper reproduces the CUDA
+    semantics so all three paths (oracle, jax tiles, pallas) agree.
+    """
+    import jax as _jax
+
+    return alpha + _jax.lax.stop_gradient(jnp.minimum(alpha, 0.99) - alpha)
+
+
 def blend_prefix_ops(a0: jnp.ndarray, contrib: jnp.ndarray, t_in=None):
     """Shared closed-form blend: given per-(gaussian, pixel) raw alphas a0 [M, P]
     (already zeroed where not contributing) in front-to-back order and the contrib
@@ -84,7 +98,7 @@ def rasterize_dense(g: Gaussians2D, width: int, height: int) -> RenderOutput:
     power = (
         -0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy) - conic[:, 1:2] * dx * dy
     )
-    alpha_raw = jnp.minimum(0.99, opac[:, None] * jnp.exp(power))
+    alpha_raw = clamp_alpha_ste(opac[:, None] * jnp.exp(power))
 
     in_rect = (
         (ptx[None, :] >= rect_min[:, 0:1])

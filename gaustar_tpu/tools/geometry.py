@@ -70,6 +70,36 @@ def query_at_image(image, pix, return_valid=False):
     return vals
 
 
+def query_at_image_bilinear(image, pix, return_valid=False):
+    """Bilinearly interpolated lookup at float (row, col) coordinates.
+
+    Nearest-pixel querying (the reference's int cast) quantizes a sampled depth
+    field to the pixel grid: on a sloped surface the error is O(slope * pixel
+    footprint), which at coarse resolutions dwarfs mm-scale agreement
+    thresholds. Bilinear sampling removes the first-order term; silhouette
+    pixels (where interpolation would mix fg/bg) are already rejected by the
+    depth-edge visibility test wherever this is used."""
+    p = np.asarray(pix, np.float64)
+    bound = np.asarray(image.shape[:2], np.float64) - 1
+    pc = np.clip(p, 0, bound)
+    r0 = np.floor(pc[:, 0]).astype(np.int64)
+    c0 = np.floor(pc[:, 1]).astype(np.int64)
+    r1 = np.minimum(r0 + 1, image.shape[0] - 1)
+    c1 = np.minimum(c0 + 1, image.shape[1] - 1)
+    fr = pc[:, 0] - r0
+    fc = pc[:, 1] - c0
+    vals = (
+        image[r0, c0] * (1 - fr) * (1 - fc)
+        + image[r0, c1] * (1 - fr) * fc
+        + image[r1, c0] * fr * (1 - fc)
+        + image[r1, c1] * fr * fc
+    )
+    if return_valid:
+        inside = (p >= 0).all(axis=-1) & (p <= bound).all(axis=-1)
+        return vals, inside
+    return vals
+
+
 def get_depth_edge(depth, ker_size=9, max_depth=None):
     """Depth-edge map = local variance via box filters (warp_mesh.py:120-130)."""
     if max_depth is None:

@@ -68,8 +68,25 @@ def extract_mesh_fusion(
     max_dim: int = 512,
     smooth: bool = False,
     simplify_face_num: int = 0,
+    solid_opacity: float | None = None,
 ) -> surgery.Mesh:
-    """TSDF-fuse rendered RGB-D into a mesh (refined_mesh.py:311-459)."""
+    """TSDF-fuse rendered RGB-D into a mesh (refined_mesh.py:311-459).
+
+    `solid_opacity` saturates gaussian opacities for the fusion renders: with
+    under-trained opacities the alpha-normalized depth mixes front/back surface
+    z and the TSDF carves the surface inward by ~0.1 x chord length. The
+    reference never needs this (fusion runs after the full 2000-iteration
+    budget where opacity-reg has saturated opacities); short-budget runs do.
+    None = trained opacities (reference behavior)."""
+    if solid_opacity is not None:
+        import dataclasses as _dc
+
+        from gaustar_tpu.utils.general import inverse_sigmoid
+
+        params = _dc.replace(
+            params,
+            densities=jnp.full_like(params.densities, inverse_sigmoid(solid_opacity)),
+        )
     pts = np.asarray(sugar.gaussian_centers(params, config))
     vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
     volume_truncated = bool(getattr(vol, "truncated", False))  # jit copies drop the flag

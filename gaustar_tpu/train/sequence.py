@@ -70,6 +70,12 @@ class SequenceConfig:
     fusion_depth_trunc: float = 6.0
     fusion_max_dim: int = 512
     fusion_simplify_face_num: int = 0
+    fusion_use_orbit: bool = True  # 72 orbit cams + rig (refined_mesh.py:342-345)
+    fusion_solid_opacity: float | None = None  # see extract_mesh_fusion
+    # None = the reference's 10 * bbox_radius / sqrt(n_faces) (refine.py:408).
+    # Scaled-down test scenes may boost it so unbound gaussians can migrate to
+    # new surfaces within their (much smaller) iteration budget.
+    spatial_lr_scale: float | None = None
 
 
 def _mesh_stats(verts, faces):
@@ -158,6 +164,7 @@ def refine_one_frame(
         data,
         cfg,
         raster_cfg,
+        spatial_lr_scale=seq.spatial_lr_scale,
         detect_topo_fn=detect_fn,
         pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
         config_dump_path=config_dump_path,
@@ -210,6 +217,8 @@ def run_sequence(
                 depth_trunc=seq.fusion_depth_trunc,
                 max_dim=seq.fusion_max_dim,
                 simplify_face_num=seq.fusion_simplify_face_num,
+                use_orbit_cameras=seq.fusion_use_orbit,
+                solid_opacity=seq.fusion_solid_opacity,
             )
             dcfg = detect_cfg or topo_detect.TopoDetectConfig(max_depth=seq.max_depth)
             face_w = topo_detect.detect_topo_err(

@@ -38,6 +38,34 @@ class TopoDetectConfig:
     depth_agreement: float = 0.005  # 5 mm visibility threshold
     edge_threshold: float = 0.1  # refined_mesh.py:803 edge visibility cutoff
     edge_ker: int = 3
+    edge_scalar: float = 1000.0  # edge-variance normalization (refined_mesh.py:800);
+    # resolution-dependent: scales the max-normalized local depth variance, so at
+    # coarse test resolutions (where per-pixel depth deltas are cm, not mm) the
+    # reference's 1000 saturates everywhere and must be lowered.
+    # Composite residual transmittance onto the (alpha-normalized) surface depth
+    # instead of the far plane. Detection runs mid-refine (loose_bind_from =
+    # iters/2, train_seq.py:94-97) where opacities are not yet saturated; with
+    # raw bg=max_depth blending, per-pixel leftover transmittance T drags the
+    # rendered depth toward the background by T*(max_depth - z) and swamps the
+    # reference thresholds (depth_scalar=3 / 5 mm, refined_mesh.py:724-726).
+    # Falling the residual onto the surface removes that bias, so the REFERENCE
+    # constants work even at half-budget. Off = the reference's raw behavior.
+    composite_over_surface: bool = True
+    # Saturate gaussian opacities for the detection renders. Topology detection
+    # compares GEOMETRY against GT depth; with half-trained opacities (~0.3) a
+    # ray mixes front- and back-surface z into the blended mean (|bias| ~ 0.1 x
+    # chord length — measured 18 cm on a 1 m sphere at iters/2), which alone
+    # exceeds the reference's 3.3 cm flag threshold everywhere. The reference
+    # never sees this because opacity-reg (min 0.8, refine.py:743-748) has
+    # saturated opacities by detection time; with saturated opacity the two
+    # formulations coincide. None = use the model's trained opacities (raw
+    # reference behavior).
+    solid_opacity: float | None = 0.995
+    # Bilinear (vs the reference's nearest-pixel) sampling of the rendered depth
+    # fields at vertex projections. Nearest quantizes depth to the pixel grid —
+    # O(slope x pixel-footprint) error that swamps mm thresholds at coarse
+    # resolutions; identical in the reference's 1.5 MP regime.
+    bilinear_query: bool = True
 
 
 def detect_topo_err(
@@ -55,21 +83,48 @@ def detect_topo_err(
     n_cams = gt_depths.shape[0]
     vert_num = len(verts)
 
+    render_params = params
+    if cfg.solid_opacity is not None:
+        import jax.numpy as jnp
+
+        from gaustar_tpu.utils.general import inverse_sigmoid
+
+        render_params = dataclasses.replace(
+            params,
+            densities=jnp.full_like(
+                params.densities, inverse_sigmoid(cfg.solid_opacity)
+            ),
+        )
+
     vert_loss_total = np.zeros((n_cams, vert_num))
     vert_visual_total = np.zeros((n_cams, vert_num), dtype=bool)
 
     for ci in range(n_cams):
         cam = index_camera(cameras, ci)
-        render_depth, _ = sugar.render_depth(
-            params, config, cam, max_depth=cfg.max_depth, raster_config=raster_cfg
+        render_depth, aux_r = sugar.render_depth(
+            render_params, config, cam, max_depth=cfg.max_depth, raster_config=raster_cfg
         )
-        surface_depth, _ = sugar.render_depth(
-            params, config, cam, max_depth=cfg.max_depth, raster_config=raster_cfg,
+        surface_depth, aux_s = sugar.render_depth(
+            render_params, config, cam, max_depth=cfg.max_depth, raster_config=raster_cfg,
             use_solid_surface=True,
         )
         render_depth = np.asarray(render_depth)
         surface_depth = np.asarray(surface_depth)
         depth_gt = np.asarray(gt_depths[ci])
+
+        if cfg.composite_over_surface:
+            # Undo the bg=max_depth term, alpha-normalize the solid surface
+            # (extract_mesh_fusion's depth_blend/alpha, refined_mesh.py:420-423),
+            # and let the blended depth's leftover transmittance fall onto the
+            # surface rather than the far plane. See TopoDetectConfig.
+            t_r = np.asarray(aux_r.final_T)
+            t_s = np.asarray(aux_s.final_T)
+            alpha_s = 1.0 - t_s
+            sum_s = surface_depth - t_s * cfg.max_depth
+            surface_depth = np.where(
+                alpha_s > 1e-3, sum_s / np.maximum(alpha_s, 1e-3), cfg.max_depth
+            )
+            render_depth = (render_depth - t_r * cfg.max_depth) + t_r * surface_depth
 
         edge_depth_gt = geo.get_depth_edge(depth_gt, cfg.edge_ker)
         depth_diff = np.abs(np.minimum(depth_gt, cfg.max_depth) - render_depth)
@@ -81,17 +136,18 @@ def detect_topo_err(
         extr = np.asarray(cam.view)
         shape = (cam.height, cam.width)
         pix_v, local = geo.project(verts, intr, extr, shape, return_local_points=True)
-        pix_depth, valid = geo.query_at_image(surface_depth, pix_v, return_valid=True)
+        query = geo.query_at_image_bilinear if cfg.bilinear_query else geo.query_at_image
+        pix_depth, valid = query(surface_depth, pix_v, return_valid=True)
         visual = valid & (np.abs(local[..., 2] - pix_depth) < cfg.depth_agreement)
 
         edge_max = edge_depth_gt.max()
-        edge_vis = np.minimum(edge_depth_gt / max(edge_max, 1e-12) * 1000, 1)
-        edge_w = geo.query_at_image(edge_vis, pix_v)
+        edge_vis = np.minimum(edge_depth_gt / max(edge_max, 1e-12) * cfg.edge_scalar, 1)
+        edge_w = query(edge_vis, pix_v)
         visual = visual & (edge_w < cfg.edge_threshold)
         vert_visual_total[ci] = visual
 
         loss_map = np.minimum(depth_diff * (1 - edge_vis) * 10, 2)
-        vert_loss = geo.query_at_image(loss_map, pix_v)
+        vert_loss = query(loss_map, pix_v)
         vert_loss_total[ci][visual] = vert_loss[visual]
 
     vert_cnt = vert_visual_total.sum(axis=0)

@@ -59,3 +59,76 @@ def test_compute_flow_pair_pipeline():
     f, b, pad = raft.compute_flow_pair(p, img, img, iters=1, scale=0.5)
     assert f.shape == (20, 30, 2) and b.shape == (20, 30, 2)
     assert np.isfinite(f).all()
+
+
+def _reference_torch_checkpoint(tmp_path, zero=True):
+    """Build a raft-things.pth-layout checkpoint: DataParallel 'module.' prefixes
+    (demo_GauSTAR.py:59-62), BatchNorm num_batches_tracked entries, and the
+    duplicate norm3/downsample.1 aliases of extractor.py:44 (the same module is
+    registered under both attribute paths)."""
+    import torch
+
+    from gaustar_tpu.tools import raft
+
+    spec = raft.random_params(seed=3)
+    sd = {}
+    for k, v in spec.items():
+        arr = np.zeros_like(np.asarray(v)) if zero else np.asarray(v)
+        sd["module." + k] = torch.from_numpy(arr.copy())
+    for k in list(sd):
+        if k.endswith(".running_var"):
+            sd[k] = torch.ones_like(sd[k])  # zero variance never occurs in torch
+            base = k.removesuffix(".running_var")
+            sd[base + ".num_batches_tracked"] = torch.tensor(0, dtype=torch.int64)
+        if ".norm3." in k:  # alias registered via nn.Sequential(conv, norm3)
+            sd[k.replace(".norm3.", ".downsample.1.")] = sd[k]
+    path = str(tmp_path / "raft-things.pth")
+    torch.save(sd, path)
+    return path, spec
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """load_torch_checkpoint must strip DataParallel prefixes and yield every
+    parameter raft_forward consumes, with matching shapes."""
+    import pytest
+
+    pytest.importorskip("torch")
+    from gaustar_tpu.tools import raft
+
+    path, spec = _reference_torch_checkpoint(tmp_path, zero=False)
+    p = raft.load_torch_checkpoint(path)
+    missing = [k for k in spec if k not in p]
+    assert not missing, f"converter lost keys: {missing[:5]}"
+    for k in spec:
+        assert p[k].shape == spec[k].shape, k
+        np.testing.assert_array_equal(np.asarray(p[k]), np.asarray(spec[k]), err_msg=k)
+
+
+def test_zero_checkpoint_epe():
+    """End-to-end numeric anchor: all-zero conv weights make every GRU flow
+    update exactly zero (flow_head outputs 0; the convex upsampler averages
+    zeros), so the predicted flow is identically 0 — EPE against a static pair
+    is 0 and against a t-pixel translation is exactly |t|. Validates the whole
+    forward + compute_flow_pair plumbing with a closed-form answer; flow
+    *quality* needs the real raft-things.pth (no egress here)."""
+    from gaustar_tpu.tools import raft
+
+    spec = raft.random_params(seed=3)
+    p = {k: jnp.zeros_like(v) for k, v in spec.items()}
+    for k in p:
+        if k.endswith("running_var"):
+            p[k] = jnp.ones_like(p[k])
+
+    rng = np.random.default_rng(4)
+    img = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+    tx = 6
+    img2 = np.roll(img, tx, axis=1)
+
+    f_static, b_static, _ = raft.compute_flow_pair(p, img, img, iters=2, scale=0.5)
+    epe_static = np.linalg.norm(f_static, axis=-1).mean()
+    assert epe_static == 0.0
+
+    f_shift, _, _ = raft.compute_flow_pair(p, img, img2, iters=2, scale=0.5)
+    gt = np.array([tx * 0.5, 0.0], np.float32)  # flow computed at 0.5x scale
+    epe_shift = np.linalg.norm(f_shift - gt, axis=-1).mean()
+    assert epe_shift == np.float32(tx * 0.5)
