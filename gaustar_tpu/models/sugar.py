@@ -310,6 +310,44 @@ def render(
     )
 
 
+def render_rgbd(
+    params: SuGaRParams,
+    config: SuGaRConfig,
+    camera: Camera,
+    bg=(0.0, 1.0, 0.0),
+    sh_deg: int | None = None,
+    max_depth: float = 10.0,
+    raster_config: RasterConfig = RasterConfig(),
+):
+    """Fused RGB + depth render in ONE rasterizer pass (4 blend channels).
+
+    The reference renders the frame twice per training iteration — once for RGB
+    (refine.py:552-564) and once with view-space z as the color and bg=max_depth
+    (refine.py:599-632). Both passes blend with IDENTICAL per-pair alpha weights,
+    so carrying depth as a 4th feature channel produces bit-identical images and
+    gradients while halving preprocess/binning/blend/backward work — the
+    TPU-first formulation of the same math. Returns (rgb [H,W,3], depth [H,W],
+    aux)."""
+    if sh_deg is None:
+        sh_deg = config.sh_levels - 1
+    positions = gaussian_centers(params, config)
+    rgb = points_rgb(params, positions, camera.camera_center, sh_deg)
+    view = camera.view
+    z = positions @ view[2, :3] + view[2, 3]
+    colors4 = jnp.concatenate([rgb, z[:, None]], axis=-1)
+    bg4 = (*tuple(bg), max_depth)
+    cfg4 = dataclasses.replace(raster_config, channels=4)
+    img4, aux = render(
+        params,
+        config,
+        camera,
+        bg=bg4,
+        raster_config=cfg4,
+        point_colors=colors4,
+    )
+    return img4[..., :3], img4[..., 3], aux
+
+
 def render_depth(
     params: SuGaRParams,
     config: SuGaRConfig,

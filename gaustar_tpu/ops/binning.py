@@ -4,24 +4,30 @@ TPU-native replacement for the CUDA rasterizer's binning stage
 (rasterizer_impl.cu:197-338: cub InclusiveSum -> duplicateWithKeys -> radix sort on
 [tileID<<32|depth-bits] -> identifyTileRanges). Differences by design:
 
-  - pair expansion is the vectorized searchsorted-repeat trick over a STATIC
-    `max_pairs` capacity (XLA needs static shapes; overflow is reported, not UB);
-  - the 64-bit key radix sort becomes a stable lexicographic `lax.sort` on
-    (tile_id, depth) with the gaussian index as payload — same order semantics:
-    pairs are emitted in (gaussian, rect-row-major) order exactly like
-    duplicateWithKeys, and the stable sort preserves that order for ties;
-  - tile ranges become G-ALIGNED segments: each tile's pair list is scattered into
-    a segment whose start is a multiple of the blend chunk size G, padding slots
-    marked with gaussian index N. This lets the Pallas blend/backward kernels DMA
-    fixed-size chunks without ever crossing a tile boundary.
+  - pair expansion is vectorized over a STATIC `max_pairs` capacity (XLA needs
+    static shapes; overflow is reported, not UB). The pair->gaussian map comes
+    from a scatter(+1 at each gaussian's first pair) + cumsum instead of a
+    binary search / sort — one O(N) scatter and one O(max_pairs) scan;
+  - the 64-bit key radix sort becomes a stable `lax.sort` on tile_id with the
+    PAIR INDEX as payload — pairs are emitted in (depth-rank, rect-row-major)
+    order exactly like duplicateWithKeys, and the stable sort preserves that
+    order for ties. Carrying the pair index (not the gaussian id) also yields
+    the emission->slot permutation `dest`, which makes the gather backward a
+    sort-free cumsum (see `_gather_rows_soa`);
+  - tile ranges become G-ALIGNED segments: each tile's pair list is scattered
+    into a segment whose start is a multiple of the blend chunk size G, padding
+    slots marked with gaussian index N. This lets the Pallas blend/backward
+    kernels DMA fixed-size chunks without ever crossing a tile boundary.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gaustar_tpu.ops.projection import Gaussians2D
 
@@ -35,6 +41,8 @@ class BinnedPairs(NamedTuple):
     tile_nchunks: jnp.ndarray  # [T] int32 = padded_count / G
     num_pairs: jnp.ndarray  # [] int32 total raw pairs (overflow if > max_pairs)
     num_padded: jnp.ndarray  # [] int32 total padded slots used (overflow if > cap)
+    dest: jnp.ndarray  # [max_pairs] int32 emission pair -> padded slot (cap = dropped)
+    pair_offsets: jnp.ndarray  # [N+1] int32 emission segment bounds per DEPTH-RANK gaussian
 
 
 def padded_capacity(max_pairs: int, n_tiles: int, chunk: int) -> int:
@@ -70,7 +78,7 @@ def bin_gaussians(
     # gaussian index, identical to the CUDA pair sort's stable radix tie order),
     # emit pairs in that order, then a SINGLE-KEY stable sort by tile id preserves
     # depth order within each tile. This replaces the reference's 64-bit
-    # [tileID<<32|depth-bits] radix sort with two much cheaper sorts.
+    # [tileID<<32|depth-bits] radix sort with one much cheaper sort.
     order = jnp.argsort(g.depth, stable=True).astype(jnp.int32)
     # Pack (rx0, ry0, rect_width) into one int32 so the per-pair expansion needs a
     # single gather (TPU gathers are the expensive primitive here). 10 bits each is
@@ -86,10 +94,14 @@ def bin_gaussians(
     offsets = jnp.cumsum(touched) - touched  # exclusive prefix sum
     total = offsets[-1] + touched[-1]
 
+    # pair -> depth-rank gaussian: +1 scattered at each gaussian's first pair
+    # index, then an inclusive cumsum. Gaussians with touched == 0 collide on the
+    # same offset; the cumsum skips them exactly like the reference's prefix-sum
+    # offsets do. This replaces a [max_pairs]-sized sorted searchsorted (a full
+    # sort on TPU) with one O(N) scatter-add + one O(max_pairs) scan.
     p = jnp.arange(max_pairs, dtype=jnp.int32)
-    gi = jnp.clip(
-        jnp.searchsorted(offsets, p, side="right", method="sort").astype(jnp.int32) - 1, 0, n - 1
-    )  # method="sort": the default binary-search lowering is ~10x slower on TPU
+    marks = jnp.zeros((max_pairs,), jnp.int32).at[offsets].add(1, mode="drop")
+    gi = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
     k = p - offsets[gi]
     code = rect_code[gi]
     rx0 = code & 0x3FF
@@ -101,9 +113,10 @@ def bin_gaussians(
     valid = p < total
     tile = jnp.where(valid, tile, n_tiles)  # sentinel sorts to the end
 
-    tile_s, gi_s = jax.lax.sort((tile, gi), num_keys=1, is_stable=True)
-    # gi_s stays in DEPTH-RANK space; gather_pair_data permutes the source instead
-    # (one [N]-sized gather beats a [max_pairs]-sized one).
+    # Stable sort by tile with the PAIR index as payload: p_s is the sorted->
+    # emission permutation (pairs of one tile stay in depth order).
+    tile_s, p_s = jax.lax.sort((tile, p), num_keys=1, is_stable=True)
+    gi_s = gi[p_s]  # DEPTH-RANK gaussian per sorted pair
 
     # Per-tile [start, end) in the compact sorted order: segments are contiguous, so
     # one searchsorted over T+1 boundaries gives both starts and counts.
@@ -120,15 +133,26 @@ def bin_gaussians(
     # dest = aligned_start[t] + (p - seg_start[t]): one gather of the delta.
     delta = aligned_start - seg_start
     in_range = tile_s < n_tiles
-    dest = jnp.where(
+    dest_sorted = jnp.where(
         in_range,
         jnp.arange(max_pairs, dtype=jnp.int32) + delta[jnp.minimum(tile_s, n_tiles - 1)],
         cap,
     )  # out-of-range dests are dropped by scatter
 
     gauss_idx = jnp.full((cap,), n, dtype=jnp.int32)
-    gauss_idx = gauss_idx.at[dest].set(gi_s, mode="drop")
+    gauss_idx = gauss_idx.at[dest_sorted].set(gi_s, mode="drop")
     pair_valid = gauss_idx < n
+
+    # Emission-order destination map (p_s is a permutation of arange(max_pairs),
+    # so every slot is written). Slots whose scatter overflowed cap keep the cap
+    # sentinel so the gather backward drops them symmetrically.
+    dest = jnp.zeros((max_pairs,), jnp.int32).at[p_s].set(
+        jnp.minimum(dest_sorted, cap)
+    )
+
+    pair_offsets = jnp.minimum(
+        jnp.append(offsets, total).astype(jnp.int32), max_pairs
+    )
 
     return BinnedPairs(
         gauss_idx=gauss_idx,
@@ -139,43 +163,43 @@ def bin_gaussians(
         tile_nchunks=padded_counts // chunk,
         num_pairs=total,
         num_padded=num_padded,
+        dest=dest,
+        pair_offsets=pair_offsets,
     )
 
 
-import functools as _functools
-
-import numpy as _np
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_rows_soa(src: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
-    """src [N+?, F] row gather -> [F, cap] SoA, with a SORT-based segment-sum
-    backward: XLA's scatter-add VJP for a multi-million-row gather costs tens of
-    ms on TPU, while (single-key sort + gather + cumsum-diff) is ~3x cheaper.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_rows_soa(src, idx, dest, pair_offsets, n: int):
+    """src [N, F] row gather -> [F, cap] SoA, with a SORT-FREE segment-sum
+    backward: pairs in emission order are already grouped by (depth-rank)
+    gaussian, so d_src = cumsum over the emission-permuted cotangent + a
+    boundary difference at `pair_offsets` — no sort, no scatter-add (XLA's
+    default VJP for this gather costs tens of ms at multi-million caps).
     idx entries >= n are padding and receive/propagate nothing."""
     idx_c = jnp.minimum(idx, src.shape[0] - 1)
     data = src[idx_c].T
     return jnp.where((idx < n)[None, :], data, 0.0)
 
 
-def _gather_rows_fwd(src, idx, n):
-    return _gather_rows_soa(src, idx, n), (idx, src.shape[0])
+def _gather_rows_fwd(src, idx, dest, pair_offsets, n):
+    return _gather_rows_soa(src, idx, dest, pair_offsets, n), (idx.shape, dest, pair_offsets)
 
 
 def _gather_rows_bwd(n, res, ct):
-    idx, n_src = res
-    cap = idx.shape[0]
-    iota = jnp.arange(cap, dtype=jnp.int32)
-    sorted_idx, perm = jax.lax.sort((idx, iota), num_keys=1, is_stable=False)
-    g_sorted = ct.T[perm]  # [cap, F] rows grouped by gaussian
-    csum = jnp.cumsum(g_sorted, axis=0)
-    bounds = jnp.searchsorted(
-        sorted_idx, jnp.arange(n_src + 1, dtype=jnp.int32), side="left", method="sort"
-    ).astype(jnp.int32)
-    hi = jnp.where((bounds[1:] > 0)[:, None], csum[jnp.maximum(bounds[1:] - 1, 0)], 0.0)
-    lo = jnp.where((bounds[:-1] > 0)[:, None], csum[jnp.maximum(bounds[:-1] - 1, 0)], 0.0)
-    d_src = hi - lo  # rows past n (padding sentinel) fall outside [0, n_src)
-    return d_src, _np.zeros(idx.shape, jax.dtypes.float0)
+    idx_shape, dest, pair_offsets = res
+    cap = ct.shape[1]
+    # Cotangent rows in emission order: slots dropped at scatter time (dest ==
+    # cap) contribute nothing; padding slots are never pointed to by dest.
+    dest_c = jnp.minimum(dest, cap - 1)
+    g_e = jnp.where((dest < cap)[:, None], ct.T[dest_c], 0.0)  # [max_pairs, F]
+    csum = jnp.cumsum(g_e, axis=0)
+    lo = pair_offsets[:-1]
+    hi = pair_offsets[1:]
+    top = jnp.where((hi > 0)[:, None], csum[jnp.maximum(hi - 1, 0)], 0.0)
+    bot = jnp.where((lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0)
+    d_src = top - bot  # [N, F] in depth-rank space (matches src's row order)
+    f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
+    return d_src, f0(idx_shape), f0(dest.shape), f0(pair_offsets.shape)
 
 
 _gather_rows_soa.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -186,7 +210,7 @@ def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> j
 
     Field rows (consumed by the blend kernels):
       0: mean2d.x  1: mean2d.y  2: conic.A  3: conic.B  4: conic.C  5: opacity
-      6..6+C: features (RGB or depth-as-color)  rest: zero padding.
+      6..6+C: features (RGB, depth-as-color, or RGB+depth fused)  rest: zero.
     Padding slots are zeroed (opacity 0 => no contribution, no gradient).
     SoA keeps Pallas HBM DMA slices [fields, chunk] lane-aligned (chunk % 128 == 0).
     """
@@ -198,4 +222,6 @@ def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> j
     if fields > src.shape[-1]:
         src = jnp.pad(src, ((0, 0), (0, fields - src.shape[-1])))
     src = src[binned.depth_order]  # pair slots index in depth-rank space
-    return _gather_rows_soa(src, binned.gauss_idx, g.mean2d.shape[0])
+    return _gather_rows_soa(
+        src, binned.gauss_idx, binned.dest, binned.pair_offsets, g.mean2d.shape[0]
+    )

@@ -136,8 +136,16 @@ def _chunk_alphas(d, px, py):
 # ---------------------------------------------------------------------------
 
 
+# Output/state column layout: cols 0-2 rgb, 3 T, 4 n_contrib, 5 done flag,
+# 6 channel-3 accumulator (fused depth), 7 zero. _state_col maps blend channel
+# -> state column.
+def _state_col(ch: int) -> int:
+    return ch if ch < 3 else 6
+
+
 def _fwd_kernel(
-    start_ref, nchunks_ref, pair_hbm, out_ref, buf, state, sem, *, grid_x, width, height, chunk
+    start_ref, nchunks_ref, pair_hbm, out_ref, buf, state, sem, *,
+    grid_x, width, height, chunk, channels
 ):
     t = pl.program_id(0)
     start = start_ref[t]
@@ -153,21 +161,33 @@ def _fwd_kernel(
     @pl.when(nch > 0)
     def _nonempty():
         _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem,
-                  grid_x=grid_x, width=width, height=height, chunk=chunk)
+                  grid_x=grid_x, width=width, height=height, chunk=chunk,
+                  channels=channels)
 
 
-def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *, grid_x, width, height, chunk):
+def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *,
+              grid_x, width, height, chunk, channels):
     px, py = _pixel_coords(t, grid_x)
     outside = (px >= width) | (py >= height)
 
     # Per-pixel state lives in a VMEM scratch buffer (not loop carries) so every
-    # iteration sees canonical vector layouts: cols 0-2 color, 3 T, 4 n_contrib,
-    # 5 done flag, 6-7 zero.
+    # iteration sees canonical vector layouts (see _state_col).
     state[:, 0:3] = jnp.zeros((PIX, 3), jnp.float32)
     state[:, 3:4] = jnp.ones((PIX, 1), jnp.float32)
     state[:, 4:5] = jnp.zeros((PIX, 1), jnp.float32)
     state[:, 5:6] = outside.astype(jnp.float32)
     state[:, 6:8] = jnp.zeros((PIX, 2), jnp.float32)
+
+    # Double-buffered chunk reads: the DMA for chunk i+1 is issued before chunk
+    # i's compute, hiding HBM latency. The early-exit path can leave ONE
+    # outstanding prefetch (for chunk i_final), drained after the loop.
+    def read_dma(i, slot):
+        off = pl.multiple_of(start + i * chunk, chunk)
+        return pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, chunk)], buf.at[slot], sem.at[slot]
+        )
+
+    read_dma(0, 0).start()
 
     def cond(c):
         i, alldone = c
@@ -175,11 +195,14 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *, grid_x, widt
 
     def body(c):
         i, _ = c
-        off = pl.multiple_of(start + i * chunk, chunk)
-        cp = pltpu.make_async_copy(pair_hbm.at[:, pl.ds(off, chunk)], buf, sem)
-        cp.start()
-        cp.wait()
-        d = buf[:, :]
+        slot = lax.rem(i, 2)
+
+        @pl.when(i + 1 < nch)
+        def _prefetch():
+            read_dma(i + 1, 1 - slot).start()
+
+        read_dma(i, slot).wait()
+        d = buf[slot, :, :]
         T = state[:, 3:4]
         done = state[:, 5:6] > 0.0
         a0, contrib, _, _, _ = _chunk_alphas(d, px, py)
@@ -195,8 +218,11 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *, grid_x, widt
         cp2 = _scan_mul_incl(om)
         t_before = T * cp2 / om  # exclusive prefix (om >= 0.01 where a > 0)
         w = a * t_before  # [PIX, chunk]
-        for ch in range(3):
-            state[:, ch : ch + 1] += jnp.sum(d[6 + ch : 7 + ch, :] * w, axis=1, keepdims=True)
+        for ch in range(channels):
+            col = _state_col(ch)
+            state[:, col : col + 1] += jnp.sum(
+                d[6 + ch : 7 + ch, :] * w, axis=1, keepdims=True
+            )
         pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a.shape, 1)).astype(jnp.float32)
         state[:, 4:5] = jnp.maximum(
             state[:, 4:5], jnp.max(jnp.where(included, pos, 0.0), axis=1, keepdims=True)
@@ -208,14 +234,25 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *, grid_x, widt
         state[:, 5:6] = done_new
         return (i + 1, jnp.all(done_new > 0.0))
 
-    lax.while_loop(cond, body, (jnp.int32(0), jnp.all(outside)))
+    i_final, _ = lax.while_loop(cond, body, (jnp.int32(0), jnp.all(outside)))
+
+    # Early exit (or the all-outside degenerate) leaves the prefetch for chunk
+    # i_final un-waited; drain it before the next grid step reuses the buffers.
+    @pl.when(i_final < nch)
+    def _drain():
+        read_dma(i_final, lax.rem(i_final, 2)).wait()
+
     out_ref[0] = state[:, :].T  # [8, PIX]
 
 
-def _blend_fwd_raw(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, interpret):
+def _blend_fwd_raw(
+    pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk,
+    channels, interpret
+):
     n_tiles = grid_x * grid_y
     kernel = functools.partial(
-        _fwd_kernel, grid_x=grid_x, width=width, height=height, chunk=chunk
+        _fwd_kernel, grid_x=grid_x, width=width, height=height, chunk=chunk,
+        channels=channels,
     )
     out = pl.pallas_call(
         kernel,
@@ -225,9 +262,9 @@ def _blend_fwd_raw(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, h
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((NFIELDS, chunk), jnp.float32),
+                pltpu.VMEM((2, NFIELDS, chunk), jnp.float32),
                 pltpu.VMEM((PIX, 8), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
@@ -256,6 +293,7 @@ def _bwd_kernel(
     *,
     grid_x,
     chunk,
+    channels,
 ):
     t = pl.program_id(0)
     start = start_ref[t]
@@ -268,13 +306,13 @@ def _bwd_kernel(
     def _tile_body():
         _bwd_tile(
             t, start, used, pair_hbm, fwd_ref, dout_ref, grads_hbm, buf, gbuf, acc,
-            sem_in, sem_out, grid_x=grid_x, chunk=chunk,
+            sem_in, sem_out, grid_x=grid_x, chunk=chunk, channels=channels,
         )
 
 
 def _bwd_tile(
     t, start, used, pair_hbm, fwd_ref, dout_ref, grads_hbm, buf, gbuf, acc,
-    sem_in, sem_out, *, grid_x, chunk
+    sem_in, sem_out, *, grid_x, chunk, channels
 ):
     px, py = _pixel_coords(t, grid_x)
 
@@ -282,14 +320,13 @@ def _bwd_tile(
     dstate = dout_ref[0].T  # [PIX, 8]
     t_final = fstate[:, 3:4]
     n_c = fstate[:, 4:5]
-    dC = dstate[:, 0:3]
     dT = dstate[:, 3:4]
 
     # Reverse-walk accumulators in VMEM scratch (canonical layouts across the
-    # loop): col 0 = P_after (product of (1-a) behind the cursor), 1-3 = S_after
-    # (accumulated weighted color behind the cursor).
+    # loop): col 0 = P_after (product of (1-a) behind the cursor), 1..channels =
+    # S_after (accumulated weighted feature behind the cursor, per channel).
     acc[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    acc[:, 1:4] = jnp.zeros((PIX, 3), jnp.float32)
+    acc[:, 1 : 1 + channels] = jnp.zeros((PIX, channels), jnp.float32)
 
     # Double-buffered chunk reads (walk is back-to-front: chunk used-1-j) and
     # deferred grad writes: the write for iteration j is waited at j+2 (before
@@ -333,13 +370,15 @@ def _bwd_tile(
 
         dL_da = -(t_final / om) * dT
         g_rgb = []
-        for ch in range(3):
+        for ch in range(channels):
+            col = _state_col(ch)
+            dC_ch = dstate[:, col : col + 1]
             c_ch = d[6 + ch : 7 + ch, :]
             wc = w * c_ch
             s_ge = _suffix_sum_incl(wc)
             s_gt = s_ge - wc + acc[:, 1 + ch : 2 + ch]
-            dL_da = dL_da + (c_ch * t_i - s_gt / om) * dC[:, ch : ch + 1]
-            g_rgb.append(jnp.sum(w * dC[:, ch : ch + 1], axis=0, keepdims=True))
+            dL_da = dL_da + (c_ch * t_i - s_gt / om) * dC_ch
+            g_rgb.append(jnp.sum(w * dC_ch, axis=0, keepdims=True))
             acc[:, 1 + ch : 2 + ch] += jnp.sum(wc, axis=1, keepdims=True)
         dL_da = jnp.where(included, dL_da, 0.0)
 
@@ -360,7 +399,8 @@ def _bwd_tile(
 
         zeros = jnp.zeros((1, chunk), jnp.float32)
         gbuf[slot, :, :] = jnp.concatenate(
-            [g_x, g_y, g_A, g_B, g_C, g_op] + g_rgb + [zeros] * (NFIELDS - 9), axis=0
+            [g_x, g_y, g_A, g_B, g_C, g_op] + g_rgb + [zeros] * (NFIELDS - 6 - channels),
+            axis=0,
         )
         write_dma(j, slot).start()
 
@@ -378,11 +418,12 @@ def _bwd_tile(
 
 
 def _blend_bwd_raw(
-    pair_data, tile_start, tile_used, fwd_out, dout, grid_x, grid_y, chunk, interpret
+    pair_data, tile_start, tile_used, fwd_out, dout, grid_x, grid_y, chunk,
+    channels, interpret
 ):
     n_tiles = grid_x * grid_y
     cap = pair_data.shape[1]
-    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk)
+    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk, channels=channels)
     grads = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -433,8 +474,12 @@ def blend_tiles_pallas(
     channels: int = 3,
     interpret: bool | None = None,
 ):
-    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, 3, PIX],
-    final_T [T, PIX], n_contrib [T, PIX] int32). Differentiable in pair_data only."""
+    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, C, PIX],
+    final_T [T, PIX], n_contrib [T, PIX] int32). Differentiable in pair_data only.
+
+    channels=3 is the reference layout (config.h:15); channels=4 fuses a second
+    feature (view-space depth) into the same pass — the training step's RGB and
+    depth renders share identical blend weights, so one pass is exact."""
     out, _ = _fwd_impl(
         pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret
     )
@@ -442,7 +487,7 @@ def blend_tiles_pallas(
 
 
 def _fwd_impl(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret):
-    assert channels == 3, "pallas blend is specialized to 3 channels (config.h:15)"
+    assert channels in (3, 4), "pallas blend supports 3 (reference) or 4 (fused depth) channels"
     raw = _blend_fwd_raw(
         pair_data,
         tile_start.astype(jnp.int32),
@@ -452,9 +497,13 @@ def _fwd_impl(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height
         width,
         height,
         chunk,
+        channels,
         _auto_interpret(interpret),
     )
-    color = raw[:, 0:3, :]
+    if channels == 3:
+        color = raw[:, 0:3, :]
+    else:
+        color = jnp.concatenate([raw[:, 0:3, :], raw[:, 6:7, :]], axis=1)
     final_t = raw[:, 3, :]
     ncontrib = raw[:, 4, :].astype(jnp.int32)
     return (color, final_t, ncontrib), raw
@@ -470,9 +519,18 @@ def _blend_fwd_rule(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, 
 def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res, cts):
     pair_data, tile_start, tile_nchunks, raw = res
     d_color, d_final_t, _ = cts
-    dout = jnp.concatenate(
-        [d_color, d_final_t[:, None, :], jnp.zeros_like(raw[:, 4:8, :])], axis=1
-    )
+    zeros1 = jnp.zeros_like(raw[:, 0:1, :])
+    if channels == 3:
+        dout = jnp.concatenate(
+            [d_color, d_final_t[:, None, :], jnp.zeros_like(raw[:, 4:8, :])], axis=1
+        )
+    else:
+        # Column layout mirrors the forward state: 0-2 rgb, 3 T, 6 channel 3.
+        dout = jnp.concatenate(
+            [d_color[:, 0:3, :], d_final_t[:, None, :], zeros1, zeros1,
+             d_color[:, 3:4, :], zeros1],
+            axis=1,
+        )
     # Backward only needs chunks up to the last contributor in each tile.
     max_nc = jnp.max(raw[:, 4, :], axis=1)
     tile_used = jnp.minimum(
@@ -487,6 +545,7 @@ def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, r
         grid_x,
         grid_y,
         chunk,
+        channels,
         _auto_interpret(interpret),
     )
     # Zero the slots the kernel never wrote (tiles' unused chunks + padding).

@@ -150,9 +150,16 @@ def compute_losses(
     H, W = camera.height, camera.width
     loss_dict = {}
 
-    # --- RGB ---
-    img, _aux = sugar.render(
-        params, model_config, camera, bg=cfg.bg_color, sh_deg=sh_deg, raster_config=raster_cfg
+    # --- RGB + depth in ONE fused rasterizer pass (identical blend weights =>
+    # identical values/gradients to the reference's two passes; see render_rgbd).
+    img, pred_depth, _aux = sugar.render_rgbd(
+        params,
+        model_config,
+        camera,
+        bg=cfg.bg_color,
+        sh_deg=sh_deg,
+        max_depth=cfg.max_depth,
+        raster_config=raster_cfg,
     )
     gt = data.gt_images[cam_idx]
     if cfg.use_margin:
@@ -167,12 +174,9 @@ def compute_losses(
     loss_dict["num_pairs"] = _aux.num_pairs
     loss_dict["num_padded"] = _aux.num_padded
 
-    # --- depth + mask (refine.py:599-660) ---
+    # --- depth + mask losses (refine.py:599-660) ---
     depth_on = iteration > cfg.depth_loss_from
     mask_on = iteration > cfg.mask_loss_from
-    pred_depth, _ = sugar.render_depth(
-        params, model_config, camera, max_depth=cfg.max_depth, raster_config=raster_cfg
-    )
     gt_depth = data.gt_depths[cam_idx]
     fg = (gt_depth < cfg.max_depth).astype(jnp.float32)
     bg = (gt_depth > cfg.max_depth).astype(jnp.float32)
