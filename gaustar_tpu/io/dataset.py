@@ -58,6 +58,19 @@ def cameras_from_npz(cmr: dict, downscale: float = 1.0) -> list[Camera]:
     return cams
 
 
+def split_eval_cameras(items: list, eval_split: bool = True, eval_split_interval: int = 8):
+    """Train/test camera split: every `eval_split_interval`-th item (i % k == 0)
+    goes to the test set (gs_model.py:119-131). Works on any per-camera list
+    (Camera objects, image arrays, indices). Returns (train_items, test_items);
+    with eval_split=False the test list is empty."""
+    if not eval_split:
+        return list(items), []
+    train, test = [], []
+    for i, it in enumerate(items):
+        (test if i % eval_split_interval == 0 else train).append(it)
+    return train, test
+
+
 def frame_dir(root: str, frame: int) -> str:
     return os.path.join(root, f"{frame:04d}")
 

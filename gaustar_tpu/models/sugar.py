@@ -235,6 +235,34 @@ def cov3d(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
     )
 
 
+def compute_density(
+    params: SuGaRParams,
+    config: SuGaRConfig,
+    x: jnp.ndarray,
+    k: int = 16,
+    density_factor: float = 1.0,
+) -> jnp.ndarray:
+    """Density field at query points [Q, 3]: sum over the k closest gaussians of
+    strength * exp(-1/2 * shift^T Sigma^-1 shift) — compute_density
+    (sugar_model.py:1017-1040). Used by the border-face postprocess
+    (refined_mesh.py:1180-1182)."""
+    from gaustar_tpu.ops.knn import knn_points
+
+    centers = gaussian_centers(params, config)
+    _, idx = knn_points(x, centers, k=k)  # [Q, k]
+
+    U = gaussian_frames(params, config)  # [N, 3, 3] columns
+    inv_s = 1.0 / scaling(params, config)  # [N, 3]
+    # inv_scaled_rotation^T @ shift with inv_scaled_rotation = U * inv_s (cols).
+    Ui = U[idx]  # [Q, k, 3, 3]
+    si = inv_s[idx]  # [Q, k, 3]
+    shift = x[:, None, :] - centers[idx]  # [Q, k, 3]
+    warped = jnp.einsum("qkij,qki->qkj", Ui, shift) * si  # [Q, k, 3]
+    m2 = jnp.clip((warped**2).sum(-1), 0.0, 1e8)
+    op = strengths(params)[idx]  # [Q, k]
+    return (density_factor * op * jnp.exp(-0.5 * m2)).sum(-1)
+
+
 def sh_coordinates(params: SuGaRParams) -> jnp.ndarray:
     return jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
 

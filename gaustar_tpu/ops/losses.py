@@ -115,6 +115,33 @@ def mesh_area_isometry_loss(verts, faces, ref_areas) -> jnp.ndarray:
     return jnp.abs(areas - ref_areas).mean()
 
 
+def mesh_laplacian_smoothing_loss(verts: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-Laplacian smoothing: mean over vertices of ||mean(neighbors) - v||.
+
+    The reference's (default-off) surface_mesh_laplacian_smoothing_loss with
+    method="uniform" (refine.py:117-122, 680-682; pytorch3d
+    mesh_laplacian_smoothing). Vertex adjacency comes from the undirected edge
+    list; isolated vertices contribute 0."""
+    n = verts.shape[0]
+    src = jnp.concatenate([edges[:, 0], edges[:, 1]])
+    dst = jnp.concatenate([edges[:, 1], edges[:, 0]])
+    nb_sum = jax.ops.segment_sum(verts[dst], src, num_segments=n)
+    deg = jax.ops.segment_sum(jnp.ones_like(src, dtype=verts.dtype), src, num_segments=n)
+    safe_deg = jnp.maximum(deg, 1.0)[:, None]
+    lap = nb_sum / safe_deg - verts
+    lap = jnp.where((deg > 0)[:, None], lap, 0.0)
+    return l2norm(lap, keepdims=False).mean()
+
+
+def mesh_area_reg_loss(verts, faces) -> jnp.ndarray:
+    """relu(mean_area / face_area - 2).mean() with a stop-gradient mean — the
+    reference's (default-off) area_reg loss penalizing faces that shrink below
+    half the average area (refine.py:143-144, 713-718)."""
+    areas, _ = face_areas_normals(verts, faces)
+    mean_area = jax.lax.stop_gradient(areas.mean())
+    return jax.nn.relu(mean_area / jnp.maximum(areas, 1e-12) - 2.0).mean()
+
+
 def mesh_normal_consistency_loss(verts, faces, adj_faces: jnp.ndarray) -> jnp.ndarray:
     """Mean (1 - cos) between normals of face pairs sharing an edge.
 

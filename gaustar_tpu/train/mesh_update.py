@@ -178,3 +178,84 @@ def update_mesh_with_fusion(
     if best is not None:
         return best
     return {"cc_update_num": 0, "fusion_volume_truncated": fusion_truncated}
+
+
+def postprocess_border_faces(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    density_threshold: float = 0.1,
+    iterations: int = 5,
+    k: int = 16,
+):
+    """Remove border triangles carrying low-density gaussians (the optional
+    --postprocess_mesh step, refined_mesh.py:1155-1217; defaults from
+    train_seq.py:49-56). Iteratively peels faces that own a boundary edge (an
+    edge not shared with another kept face), then re-adds peeled faces whose
+    center density exceeds `density_threshold`. Returns (params, config) with
+    the face set (and its per-face gaussians) subset; vertices are unchanged.
+
+    The reference detects duplicate edges with a knn_points hack (dist < 0.01
+    over edge index pairs, refined_mesh.py:1173-1177); exact integer edge
+    counting is equivalent and deterministic.
+    """
+    import numpy as np
+
+    faces = np.asarray(config.faces)
+    f = len(faces)
+    # Canonical (sorted) edge keys per face: [F, 3] int64.
+    e = np.stack([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=1)
+    e.sort(axis=-1)
+    nv = int(faces.max()) + 1
+    ekey = e[..., 0].astype(np.int64) * nv + e[..., 1]
+
+    face_mask = np.ones(f, bool)
+    for _ in range(iterations):
+        keys = ekey[face_mask].reshape(-1)
+        uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        inside = (counts[inv] >= 2).reshape(-1, 3).all(axis=-1)
+        if inside.all():
+            break
+        face_mask[face_mask] = inside
+
+    removed = ~face_mask
+    if removed.any():
+        import jax.numpy as jnp
+
+        verts = np.asarray(params.points)
+        centers = verts[faces[removed]].mean(axis=1)
+        dens = np.asarray(
+            sugar.compute_density(params, config, jnp.asarray(centers, jnp.float32), k=k)
+        )
+        face_mask[removed] = dens > density_threshold
+
+    return subset_sugar_faces(params, config, face_mask), face_mask
+
+
+def subset_sugar_faces(params, config, face_mask):
+    """Subset a SuGaR model to the faces where `face_mask` is True, slicing the
+    per-face gaussian parameter groups (refined_mesh.py:1185-1216 semantics:
+    vertices stay, faces and their gaussians are filtered)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    face_mask = np.asarray(face_mask, bool)
+    ng = config.n_gaussians_per_face
+
+    def per_face(x):
+        a = np.asarray(x)
+        return jnp.asarray(a.reshape((len(face_mask), ng) + a.shape[1:])[face_mask].reshape((-1,) + a.shape[1:]))
+
+    new_params = _dc.replace(
+        params,
+        scales=per_face(params.scales),
+        complex2d=per_face(params.complex2d),
+        densities=per_face(params.densities),
+        sh_dc=per_face(params.sh_dc),
+        sh_rest=per_face(params.sh_rest),
+        delta_t=per_face(params.delta_t),
+        delta_r=per_face(params.delta_r),
+    )
+    new_config = _dc.replace(config, faces=jnp.asarray(np.asarray(config.faces)[face_mask]))
+    return new_params, new_config

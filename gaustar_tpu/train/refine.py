@@ -61,6 +61,11 @@ class RefineConfig:
     edge_iso_from: int = 0  # 999999 on later frames (train_seq.py:94-97 semantics)
     area_iso_factor: float = 1000.0  # 5000 on frame 0
     area_iso_from: int = 0
+    # Default-off knobs carried from the reference (refine.py:117-122,143-144):
+    use_laplacian_smoothing: bool = False
+    laplacian_smoothing_factor: float = 5.0  # refine.py:122 ("uniform" method)
+    area_reg_loss_factor: float = 0.1
+    area_reg_from: int = 999999  # refine.py:144 (inactive by default)
     use_opacity_reg: bool = True
     min_opacity: float = 0.8
     loose_bind_from: int = 1000
@@ -211,6 +216,19 @@ def compute_losses(
     area = cfg.area_iso_factor * losses.mesh_area_isometry_loss(verts, faces, data.ref_area)
     loss = loss + jnp.where(area_on, area, 0.0)
     loss_dict["area_loss"] = area
+
+    # Default-off reference knobs (refine.py:680-682, 713-718). Statically gated
+    # so the default step compiles no extra work.
+    if cfg.use_laplacian_smoothing:
+        lap = cfg.laplacian_smoothing_factor * losses.mesh_laplacian_smoothing_loss(
+            verts, data.edges
+        )
+        loss = loss + lap
+        loss_dict["laplacian_loss"] = lap
+    if cfg.area_reg_from < cfg.num_iterations:
+        area_reg = cfg.area_reg_loss_factor * losses.mesh_area_reg_loss(verts, faces)
+        loss = loss + jnp.where(iteration > cfg.area_reg_from, area_reg, 0.0)
+        loss_dict["area_reg_loss"] = area_reg
 
     # --- unbind regularization (refine.py:738-740) ---
     if model_config.loose_bind and unbind_weight is not None:
