@@ -208,29 +208,36 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *,
         a0, contrib, _, _, _ = _chunk_alphas(d, px, py)
         notdone = jnp.logical_not(done)
 
+        # TWO cumulative scans per chunk (was three): E = prefix prod of (1-a0)
+        # gives both the stop test and the exclusive-prefix transmittance
+        # (t_before = T*E/om0, valid wherever a0 > 0 since om0 >= 0.01 there);
+        # the post-stop exclusion needs no third scan because excluded pairs
+        # have w = 0 and the held T equals t_incl/om0 at the FIRST flag, which
+        # is the max over flagged positions (E is non-increasing).
         om0 = 1.0 - a0
-        t_incl = T * _scan_mul_incl(om0)  # T after i assuming all contribute
+        E = _scan_mul_incl(om0)
+        t_incl = T * E  # T after i assuming all contribute
         flag = contrib & (t_incl < 1e-4) & notdone
         stopped = _scan_max_incl(flag.astype(jnp.float32)) > 0.0
         included = contrib & jnp.logical_not(stopped) & notdone
-        a = jnp.where(included, a0, 0.0)
-        om = 1.0 - a
-        cp2 = _scan_mul_incl(om)
-        t_before = T * cp2 / om  # exclusive prefix (om >= 0.01 where a > 0)
-        w = a * t_before  # [PIX, chunk]
+        t_before = T * E / om0
+        w = jnp.where(included, a0 * t_before, 0.0)  # [PIX, chunk]
         for ch in range(channels):
             col = _state_col(ch)
             state[:, col : col + 1] += jnp.sum(
                 d[6 + ch : 7 + ch, :] * w, axis=1, keepdims=True
             )
-        pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a.shape, 1)).astype(jnp.float32)
+        pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a0.shape, 1)).astype(jnp.float32)
         state[:, 4:5] = jnp.maximum(
             state[:, 4:5], jnp.max(jnp.where(included, pos, 0.0), axis=1, keepdims=True)
         )
-        state[:, 3:4] = T * cp2[:, chunk - 1 : chunk]  # full-chunk product
-        done_new = jnp.maximum(
-            state[:, 5:6], jnp.max(flag.astype(jnp.float32), axis=1, keepdims=True)
-        )
+        flag_f = flag.astype(jnp.float32)
+        any_flag = jnp.max(flag_f, axis=1, keepdims=True)
+        t_held = jnp.max(jnp.where(flag, t_incl / om0, 0.0), axis=1, keepdims=True)
+        t_all = T * E[:, chunk - 1 : chunk]
+        t_new = jnp.where(any_flag > 0.0, t_held, t_all)
+        state[:, 3:4] = jnp.where(done, T, t_new)
+        done_new = jnp.maximum(state[:, 5:6], any_flag)
         state[:, 5:6] = done_new
         return (i + 1, jnp.all(done_new > 0.0))
 

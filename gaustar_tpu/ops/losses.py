@@ -37,10 +37,31 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _filter2d_same(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D conv with zero 'same' padding. img: [H, W, C]."""
+    """Depthwise 2D conv with zero 'same' padding. img: [H, W, C].
+
+    The SSIM Gaussian window is rank-1 (outer(g, g)), so the conv runs as two
+    separable 1D passes — k+k MACs/pixel instead of k*k (5.5x fewer at k=11;
+    the 2D form costs ~2 GFLOP/call at 1.6 MP and shows up in the step time).
+    Non-separable windows fall back to the dense depthwise conv."""
     h, w = window.shape
     c = img.shape[-1]
-    # NHWC input, HWIO kernel with feature_group_count = C (depthwise).
+    win = np.asarray(window, np.float32)
+    # Rank-1 check on the HOST constant (windows come from _gaussian_window).
+    u, s, vt = np.linalg.svd(win)
+    if s[1:].max(initial=0.0) < 1e-6 * s[0]:
+        kcol = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)  # [h]
+        krow = (vt[0] * np.sqrt(s[0])).astype(np.float32)  # [w]
+        kv = jnp.broadcast_to(jnp.asarray(kcol)[:, None, None, None], (h, 1, 1, c))
+        kh = jnp.broadcast_to(jnp.asarray(krow)[None, :, None, None], (1, w, 1, c))
+        out = jax.lax.conv_general_dilated(
+            img[None], kv, (1, 1), ((h // 2, h // 2), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+        out = jax.lax.conv_general_dilated(
+            out, kh, (1, 1), ((0, 0), (w // 2, w // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+        return out[0]
     kernel = jnp.broadcast_to(jnp.asarray(window)[:, :, None, None], (h, w, 1, c))
     out = jax.lax.conv_general_dilated(
         img[None],
