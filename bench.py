@@ -82,8 +82,13 @@ def build_scene():
         edges=jnp.asarray(topo.edges),
         adj_faces=jnp.asarray(topo.adj_faces),
     )
+    # Capacities sized to the measured demand (examples/profile_binning.py:
+    # num_pairs 1.07M, num_padded 1.17M at this scale) with ~2x headroom —
+    # every pair-scale op costs proportionally to the STATIC capacity, and the
+    # host-level auto-retry (train/refine.py) re-jits with doubled capacity if
+    # a scene overflows.
     raster_cfg = RasterConfig(
-        max_pairs=1 << 22, max_padded=(1 << 22) + (1 << 21), chunk=256, impl="pallas"
+        max_pairs=1 << 21, max_padded=1 << 21, chunk=256, impl="pallas"
     )
     return params, config, data, raster_cfg
 

@@ -16,3 +16,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: the suite is dominated by XLA compiles of the
+# render pipeline (VERDICT r1 notes >10 min); caching compiled executables on
+# disk makes repeat runs fast. Safe on CPU; keyed by HLO + flags + versions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gaustar_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

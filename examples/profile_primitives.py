@@ -46,7 +46,7 @@ run("gather_f32 4M<-6400 one-hot-able", lambda i, x: vals_small[(x + i) % 6400].
 run("rowgather [4M,16]f32 <- [600k,16]", lambda i, x: rows_n16[(x + i) % N].sum(), idx_m_n)
 run("rowgather_int [4M,1] <- [600k,1]", lambda i, x: ints_n[:, None][(x + i) % N].sum().astype(jnp.float32), idx_m_n)
 run("scatter_set 4M->6.3M", lambda i, d: jnp.zeros((CAP,), jnp.int32).at[d].set(ints_m + i, mode="drop").sum().astype(jnp.float32), dest_m)
-run("scatter_set 4M->4M (perm)", lambda i, d: jnp.zeros((M,), jnp.int32).at[(d * 2654435761 % M).astype(jnp.int32)].set(ints_m + i, mode="drop").sum().astype(jnp.float32), jnp.arange(M, dtype=jnp.int32))
+run("scatter_set 4M->4M (perm)", lambda i, d: jnp.zeros((M,), jnp.int32).at[((d * 1664525 + 1013904223) % M).astype(jnp.int32)].set(ints_m + i, mode="drop").sum().astype(jnp.float32), jnp.arange(M, dtype=jnp.int32))
 run("scatter_add 600k->4M", lambda i, o: jnp.zeros((M,), jnp.int32).at[o].add(1 + i * 0, mode="drop").sum().astype(jnp.float32), offsets_n)
 run("scatter_set 6400->4M", lambda i, o: jnp.zeros((M,), jnp.float32).at[o[:6400]].set(vals_small + i, mode="drop").sum(), offsets_n)
 run("cumsum 4M int32", lambda i, x: jnp.cumsum(x + i).sum().astype(jnp.float32), ints_m)

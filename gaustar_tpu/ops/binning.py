@@ -74,49 +74,69 @@ def bin_gaussians(
     n_tiles = grid_x * grid_y
     cap = default_capacity(max_pairs, n_tiles, chunk, max_padded)
 
-    # Depth-rank trick: sort the N gaussians by depth once (stable => ties break by
-    # gaussian index, identical to the CUDA pair sort's stable radix tie order),
-    # emit pairs in that order, then a SINGLE-KEY stable sort by tile id preserves
-    # depth order within each tile. This replaces the reference's 64-bit
-    # [tileID<<32|depth-bits] radix sort with one much cheaper sort.
-    order = jnp.argsort(g.depth, stable=True).astype(jnp.int32)
-    # Pack (rx0, ry0, rect_width) into one int32 so the per-pair expansion needs a
-    # single gather (TPU gathers are the expensive primitive here). 10 bits each is
-    # enough for <= 1023 tiles per axis (16k x 16k pixels).
+    # COST MODEL (measured on v5e, examples/profile_primitives.py): elementwise
+    # gathers/scatters at pair scale cost ~8 ns/element — 30-40 ms per 4M-sized
+    # op — while lax.sort is ~6 ms and cumsum/cummax scans are cheap. So this
+    # chain is expressed in sorts (carrying payloads instead of gathering them
+    # afterwards) and segment-start scatter + cummax forward-fills (legal
+    # whenever the filled value is non-decreasing), keeping only ONE
+    # pair-scale scatter (the padded-slot placement).
+
+    # Depth-rank trick: sort the N gaussians by depth once (stable => ties break
+    # by gaussian index, identical to the CUDA pair sort's stable radix tie
+    # order, rasterizer_impl.cu:277-303), emit pairs in that order, then a
+    # single-key stable sort by tile id preserves depth order within each tile.
+    # Payloads ride the sort: per-gaussian fields need no post-sort gather.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
     rect_code_all = (
         g.rect_min[:, 0]
         | (g.rect_min[:, 1] << 10)
         | ((g.rect_max[:, 0] - g.rect_min[:, 0]) << 20)
-    ).astype(jnp.int32)
-    touched = g.tiles_touched.astype(jnp.int32)[order]
-    rect_code = rect_code_all[order]
+    ).astype(jnp.int32)  # 10 bits each: <= 1023 tiles per axis (16k x 16k px)
+    _, touched, rect_code, order = jax.lax.sort(
+        (g.depth, g.tiles_touched.astype(jnp.int32), rect_code_all, iota_n),
+        num_keys=1,
+        is_stable=True,
+    )
 
     offsets = jnp.cumsum(touched) - touched  # exclusive prefix sum
     total = offsets[-1] + touched[-1]
 
-    # pair -> depth-rank gaussian: +1 scattered at each gaussian's first pair
-    # index, then an inclusive cumsum. Gaussians with touched == 0 collide on the
-    # same offset; the cumsum skips them exactly like the reference's prefix-sum
-    # offsets do. This replaces a [max_pairs]-sized sorted searchsorted (a full
-    # sort on TPU) with one O(N) scatter-add + one O(max_pairs) scan.
+    # Per-pair gaussian attributes WITHOUT pair-scale gathers: scatter each
+    # gaussian's values at its segment start, then forward-fill with cummax.
+    # - off_p (the owning gaussian's first pair index) is non-decreasing, so the
+    #   fill is exact; colliding starts (touched == 0 gaussians) scatter equal
+    #   values (.max keeps the later gaussian — the one that owns the pairs,
+    #   since zero-touched gaussians own nothing).
+    # - the non-monotone rect fields are packed under the strictly-increasing
+    #   depth rank, (rank << 10 | field), which keeps each int32 key monotone.
+    #   Int32 limits rank to 21 bits: fine for <= 2M gaussians per device
+    #   (larger scenes shard the gaussian axis, parallel/gauss_shard.py).
+    assert n < (1 << 21), "bin_gaussians: > 2M gaussians; shard the gaussian axis"
     p = jnp.arange(max_pairs, dtype=jnp.int32)
-    marks = jnp.zeros((max_pairs,), jnp.int32).at[offsets].add(1, mode="drop")
-    gi = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
-    k = p - offsets[gi]
-    code = rect_code[gi]
-    rx0 = code & 0x3FF
-    ry0 = (code >> 10) & 0x3FF
-    rw_safe = jnp.maximum(code >> 20, 1)
+    rank = jnp.arange(n, dtype=jnp.int32)
+
+    def _ffill(values):
+        seed = jnp.zeros((max_pairs,), jnp.int32).at[offsets].max(values, mode="drop")
+        return jax.lax.cummax(seed)
+
+    off_p = _ffill(offsets)
+    rx0 = (_ffill((rank << 10) | (rect_code & 0x3FF))) & 0x3FF
+    ry0 = (_ffill((rank << 10) | ((rect_code >> 10) & 0x3FF))) & 0x3FF
+    key_rw = _ffill((rank << 10) | (rect_code >> 20))
+    gi = jnp.clip(key_rw >> 10, 0, n - 1)
+    rw_safe = jnp.maximum(key_rw & 0x3FF, 1)
+
+    k = p - off_p
     dy = k // rw_safe
     dx = k - dy * rw_safe
     tile = (ry0 + dy) * grid_x + (rx0 + dx)
     valid = p < total
     tile = jnp.where(valid, tile, n_tiles)  # sentinel sorts to the end
 
-    # Stable sort by tile with the PAIR index as payload: p_s is the sorted->
-    # emission permutation (pairs of one tile stay in depth order).
-    tile_s, p_s = jax.lax.sort((tile, p), num_keys=1, is_stable=True)
-    gi_s = gi[p_s]  # DEPTH-RANK gaussian per sorted pair
+    # Stable sort by tile, carrying BOTH the pair index (the sorted->emission
+    # permutation) and the gaussian rank (avoids a gi[p_s] gather).
+    tile_s, p_s, gi_s = jax.lax.sort((tile, p, gi), num_keys=1, is_stable=True)
 
     # Per-tile [start, end) in the compact sorted order: segments are contiguous, so
     # one searchsorted over T+1 boundaries gives both starts and counts.
@@ -130,24 +150,27 @@ def bin_gaussians(
     aligned_start = jnp.cumsum(padded_counts) - padded_counts
     num_padded = aligned_start[-1] + padded_counts[-1]
 
-    # dest = aligned_start[t] + (p - seg_start[t]): one gather of the delta.
+    # dest = aligned_start[t] + (p - seg_start[t]). delta = aligned - start is
+    # non-decreasing over tiles, so the per-pair value comes from another
+    # segment-start scatter + cummax fill (empty tiles share a start; .max keeps
+    # the largest delta, which belongs to the tile that owns the pairs).
     delta = aligned_start - seg_start
+    dseg = jnp.zeros((max_pairs,), jnp.int32).at[seg_start].max(delta, mode="drop")
     in_range = tile_s < n_tiles
     dest_sorted = jnp.where(
-        in_range,
-        jnp.arange(max_pairs, dtype=jnp.int32) + delta[jnp.minimum(tile_s, n_tiles - 1)],
-        cap,
-    )  # out-of-range dests are dropped by scatter
+        in_range, jnp.arange(max_pairs, dtype=jnp.int32) + jax.lax.cummax(dseg), cap
+    )  # out-of-range dests are dropped by scatter; strictly increasing where valid
 
     gauss_idx = jnp.full((cap,), n, dtype=jnp.int32)
     gauss_idx = gauss_idx.at[dest_sorted].set(gi_s, mode="drop")
     pair_valid = gauss_idx < n
 
-    # Emission-order destination map (p_s is a permutation of arange(max_pairs),
-    # so every slot is written). Slots whose scatter overflowed cap keep the cap
+    # Emission-order destination map: invert the tile sort by re-sorting on the
+    # pair index (a permutation) — a second ~6 ms sort instead of a ~25 ms
+    # pair-scale scatter. Slots whose scatter overflowed cap keep the cap
     # sentinel so the gather backward drops them symmetrically.
-    dest = jnp.zeros((max_pairs,), jnp.int32).at[p_s].set(
-        jnp.minimum(dest_sorted, cap)
+    _, dest = jax.lax.sort(
+        (p_s, jnp.minimum(dest_sorted, cap)), num_keys=1, is_stable=False
     )
 
     pair_offsets = jnp.minimum(

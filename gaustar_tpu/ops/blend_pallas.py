@@ -329,11 +329,19 @@ def _bwd_tile(
     n_c = fstate[:, 4:5]
     dT = dstate[:, 3:4]
 
+    # Channel collapse: dL/da_i sums (c_ch,i * t_i - s_gt_ch,i / om_i) * dC_ch
+    # over channels, but dC is constant per PIXEL across the chunk walk — so
+    # contracting features with dC first (u_i = sum_ch c_ch,i * dC_ch) turns
+    # the C per-channel suffix sums into ONE suffix sum of w*u. backward.cu
+    # pays the same C-fold cost per thread (accum_rec per channel); the
+    # contraction is the closed-form equivalent.
+    dC_cols = [dstate[:, _state_col(ch) : _state_col(ch) + 1] for ch in range(channels)]
+
     # Reverse-walk accumulators in VMEM scratch (canonical layouts across the
-    # loop): col 0 = P_after (product of (1-a) behind the cursor), 1..channels =
-    # S_after (accumulated weighted feature behind the cursor, per channel).
+    # loop): col 0 = P_after (product of (1-a) behind the cursor), col 1 =
+    # S_after_u (dC-contracted weighted features behind the cursor).
     acc[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    acc[:, 1 : 1 + channels] = jnp.zeros((PIX, channels), jnp.float32)
+    acc[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
 
     # Double-buffered chunk reads (walk is back-to-front: chunk used-1-j) and
     # deferred grad writes: the write for iteration j is waited at j+2 (before
@@ -375,18 +383,19 @@ def _bwd_tile(
         t_i = t_final / (sp * p_after)  # transmittance before pair i
         w = a * t_i
 
-        dL_da = -(t_final / om) * dT
-        g_rgb = []
-        for ch in range(channels):
-            col = _state_col(ch)
-            dC_ch = dstate[:, col : col + 1]
-            c_ch = d[6 + ch : 7 + ch, :]
-            wc = w * c_ch
-            s_ge = _suffix_sum_incl(wc)
-            s_gt = s_ge - wc + acc[:, 1 + ch : 2 + ch]
-            dL_da = dL_da + (c_ch * t_i - s_gt / om) * dC_ch
-            g_rgb.append(jnp.sum(w * dC_ch, axis=0, keepdims=True))
-            acc[:, 1 + ch : 2 + ch] += jnp.sum(wc, axis=1, keepdims=True)
+        # u = sum_ch c_ch * dC_ch per (pixel, pair): one suffix sum serves every
+        # channel (see the channel-collapse note above).
+        u = dC_cols[0] * d[6:7, :]
+        for ch in range(1, channels):
+            u = u + dC_cols[ch] * d[6 + ch : 7 + ch, :]
+        wu = w * u
+        s_ge = _suffix_sum_incl(wu)
+        s_gt_u = s_ge - wu + acc[:, 1:2]
+        dL_da = -(t_final / om) * dT + (u * t_i - s_gt_u / om)
+        g_rgb = [
+            jnp.sum(w * dC_cols[ch], axis=0, keepdims=True) for ch in range(channels)
+        ]
+        acc[:, 1:2] += jnp.sum(wu, axis=1, keepdims=True)
         dL_da = jnp.where(included, dL_da, 0.0)
 
         op = d[5:6, :]
