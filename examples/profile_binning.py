@@ -109,7 +109,7 @@ def stage_sortpairs(i, depth):
 def stage_full_bin(i, depth):
     gg = g._replace(depth=depth + i * 0.0)
     b = binning.bin_gaussians(gg, grid_x, grid_y, MAX_PAIRS, CHUNK, MAX_PADDED)
-    return (b.gauss_idx.sum() + b.dest.sum()).astype(jnp.float32)
+    return (b.gauss_idx.sum() + b.pair_offsets.sum()).astype(jnp.float32)
 
 
 def stage_bin_gather(i, depth):

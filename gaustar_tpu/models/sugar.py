@@ -170,12 +170,45 @@ def n_gaussians(params: SuGaRParams) -> int:
     return params.scales.shape[0]
 
 
+def _face_vert_comps(params: SuGaRParams, config: SuGaRConfig):
+    """Face corner coordinates as 9 component arrays v[k][d] of shape [F].
+
+    ONE row gather from [V, 3], then slices. All downstream frame/covariance
+    math stays component-major: [F]- or [F, ng]-shaped elementwise ops keep the
+    TPU lane dimension full, where the naive [F, 3, 3]-shaped broadcasts and
+    batched 3x3 matmuls pad their minor dims into (8, 128) tiles — measured
+    4.5x slower for the whole primitive stage (examples/profile_candidates.py)."""
+    f = config.faces.shape[0]
+    fv = params.points[config.faces.reshape(-1)].reshape(f, 3, 3)
+    return [[fv[:, k, d] for d in range(3)] for k in range(3)]
+
+
+def _cross3(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def _normalize3(v, eps=1e-12):
+    # same formula as utils.general.normalize (sqrt-sum, max-eps, divide)
+    n = jnp.maximum(jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]), eps)
+    return [v[0] / n, v[1] / n, v[2] / n]
+
+
 def gaussian_centers(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
     """Barycentric gaussian centers (+delta_t when loose) — `points` property
     (sugar_model.py:417-435)."""
-    faces_verts = params.points[config.faces]  # [F, 3, 3]
-    pts = (faces_verts[:, None] * config.bary[None, :, :, None]).sum(axis=2)
-    pts = pts.reshape(-1, 3)
+    v = _face_vert_comps(params, config)
+    bary = config.bary  # [ng, 3]
+    comps = [
+        v[0][d][:, None] * bary[None, :, 0]
+        + v[1][d][:, None] * bary[None, :, 1]
+        + v[2][d][:, None] * bary[None, :, 2]
+        for d in range(3)
+    ]  # [F, ng] each
+    pts = jnp.stack(comps, axis=-1).reshape(-1, 3)
     if config.loose_bind:
         pts = pts + params.delta_t
     return pts
@@ -224,15 +257,69 @@ def quaternions(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
     return matrix_to_quaternion(gaussian_frames(params, config))
 
 
+def _frame_cols_soa(params: SuGaRParams, config: SuGaRConfig):
+    """Rotation columns (r0 | r1 | r2) as component arrays [F, ng] — the
+    component-major form of `gaussian_frames` (identical math, no [N, 3, 3])."""
+    v = _face_vert_comps(params, config)
+    e1 = [v[1][d] - v[0][d] for d in range(3)]
+    e2 = [v[2][d] - v[0][d] for d in range(3)]
+    r0f = _normalize3(_cross3(e1, e2))  # face normal, [F]
+    b1 = _normalize3([v[0][d] - v[1][d] for d in range(3)])
+    b2 = _normalize3(_cross3(r0f, b1))
+
+    ng = config.n_gaussians_per_face
+    cx = params.complex2d[:, 0].reshape(-1, ng)
+    cy = params.complex2d[:, 1].reshape(-1, ng)
+    cn = jnp.maximum(jnp.sqrt(cx * cx + cy * cy), 1e-12)
+    ca, cb = cx / cn, cy / cn
+
+    shape = ca.shape
+    r0 = [jnp.broadcast_to(r0f[d][:, None], shape) for d in range(3)]
+    r1 = [ca * b1[d][:, None] + cb * b2[d][:, None] for d in range(3)]
+    r2 = [-cb * b1[d][:, None] + ca * b2[d][:, None] for d in range(3)]
+
+    if config.loose_bind:
+        # rotate every column by the per-gaussian delta quaternion (w-first)
+        q = params.delta_r / jnp.maximum(
+            jnp.sqrt((params.delta_r**2).sum(-1, keepdims=True)), 1e-12
+        )
+        r, x, y, z = (q[:, i].reshape(shape) for i in range(4))
+        m = (
+            (1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y)),
+            (2.0 * (x * y + r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z - r * x)),
+            (2.0 * (x * z - r * y), 2.0 * (y * z + r * x), 1.0 - 2.0 * (x * x + y * y)),
+        )
+
+        def rot(c):
+            return [m[d][0] * c[0] + m[d][1] * c[1] + m[d][2] * c[2] for d in range(3)]
+
+        r0, r1, r2 = rot(r0), rot(r1), rot(r2)
+    return r0, r1, r2
+
+
+def covariance6(
+    params: SuGaRParams, config: SuGaRConfig, use_solid_surface: bool = False
+) -> jnp.ndarray:
+    """Packed world covariance [N, 6] (xx, xy, xz, yy, yz, zz): Sigma = U S^2 U^T,
+    expanded per entry: Sigma_de = sum_i s2_i * r_i[d] * r_i[e] — all elementwise."""
+    r0, r1, r2 = _frame_cols_soa(params, config)
+    s = scaling(params, config)  # [N, 3]
+    if use_solid_surface:
+        # raise small in-plane scales to their mean (sugar_model.py:1230-1232)
+        mean_scale = s[:, 1:].mean()
+        s = jnp.concatenate([s[:, :1], jnp.maximum(s[:, 1:], mean_scale)], axis=-1)
+    ng = config.n_gaussians_per_face
+    s2 = [(s[:, i] ** 2).reshape(-1, ng) for i in range(3)]
+    entries = [
+        s2[0] * r0[d] * r0[e] + s2[1] * r1[d] * r1[e] + s2[2] * r2[d] * r2[e]
+        for d, e in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    ]
+    return jnp.stack([x.reshape(-1) for x in entries], axis=-1)
+
+
 def cov3d(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
     """Packed world covariance [N, 6] (xx, xy, xz, yy, yz, zz): Sigma = U S^2 U^T."""
-    U = gaussian_frames(params, config)
-    s2 = scaling(params, config) ** 2  # [N, 3]
-    M = U * s2[:, None, :]  # scale columns
-    S = M @ U.transpose(0, 2, 1)  # [N, 3, 3] symmetric
-    return jnp.stack(
-        [S[:, 0, 0], S[:, 0, 1], S[:, 0, 2], S[:, 1, 1], S[:, 1, 2], S[:, 2, 2]], axis=-1
-    )
+    return covariance6(params, config)
 
 
 def compute_density(
@@ -314,17 +401,7 @@ def render(
     else:
         colors = point_colors
 
-    U = gaussian_frames(params, config)
-    s = scaling(params, config)
-    if use_solid_surface:
-        mean_scale = s[:, 1:].mean()
-        s = jnp.concatenate([s[:, :1], jnp.maximum(s[:, 1:], mean_scale)], axis=-1)
-    s2 = s**2
-    M = U * s2[:, None, :]
-    S = M @ U.transpose(0, 2, 1)
-    cov = jnp.stack(
-        [S[:, 0, 0], S[:, 0, 1], S[:, 0, 2], S[:, 1, 1], S[:, 1, 2], S[:, 2, 2]], axis=-1
-    )
+    cov = covariance6(params, config, use_solid_surface=use_solid_surface)
 
     return rasterize(
         positions,

@@ -41,7 +41,6 @@ class BinnedPairs(NamedTuple):
     tile_nchunks: jnp.ndarray  # [T] int32 = padded_count / G
     num_pairs: jnp.ndarray  # [] int32 total raw pairs (overflow if > max_pairs)
     num_padded: jnp.ndarray  # [] int32 total padded slots used (overflow if > cap)
-    dest: jnp.ndarray  # [max_pairs] int32 emission pair -> padded slot (cap = dropped)
     pair_offsets: jnp.ndarray  # [N+1] int32 emission segment bounds per DEPTH-RANK gaussian
 
 
@@ -165,14 +164,6 @@ def bin_gaussians(
     gauss_idx = gauss_idx.at[dest_sorted].set(gi_s, mode="drop")
     pair_valid = gauss_idx < n
 
-    # Emission-order destination map: invert the tile sort by re-sorting on the
-    # pair index (a permutation) — a second ~6 ms sort instead of a ~25 ms
-    # pair-scale scatter. Slots whose scatter overflowed cap keep the cap
-    # sentinel so the gather backward drops them symmetrically.
-    _, dest = jax.lax.sort(
-        (p_s, jnp.minimum(dest_sorted, cap)), num_keys=1, is_stable=False
-    )
-
     pair_offsets = jnp.minimum(
         jnp.append(offsets, total).astype(jnp.int32), max_pairs
     )
@@ -186,43 +177,53 @@ def bin_gaussians(
         tile_nchunks=padded_counts // chunk,
         num_pairs=total,
         num_padded=num_padded,
-        dest=dest,
         pair_offsets=pair_offsets,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _gather_rows_soa(src, idx, dest, pair_offsets, n: int):
-    """src [N, F] row gather -> [F, cap] SoA, with a SORT-FREE segment-sum
-    backward: pairs in emission order are already grouped by (depth-rank)
-    gaussian, so d_src = cumsum over the emission-permuted cotangent + a
-    boundary difference at `pair_offsets` — no sort, no scatter-add (XLA's
-    default VJP for this gather costs tens of ms at multi-million caps).
-    idx entries >= n are padding and receive/propagate nothing."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_rows_soa(src, idx, pair_offsets, n: int, nf: int):
+    """src [N, F] row gather -> [F, cap] SoA, with a SORT-BASED segment-sum
+    backward. XLA's default VJP for this gather is a pair-scale scatter-add
+    (~170 ms at 2M pairs, v5e); a reorder expressed as `lax.sort` with the
+    cotangent columns as payloads runs at VPU speed instead (~18 ms — TPU
+    gathers/scatters are descriptor-rate-bound at ~10-25 ns/row regardless of
+    width, sorts are fully vectorized; examples/profile_candidates2.py).
+
+    idx entries >= n are padding and receive/propagate nothing. `nf` is the
+    number of leading fields that carry real data (the rest are layout padding:
+    zero cotangents, skipped in the backward)."""
     idx_c = jnp.minimum(idx, src.shape[0] - 1)
     data = src[idx_c].T
     return jnp.where((idx < n)[None, :], data, 0.0)
 
 
-def _gather_rows_fwd(src, idx, dest, pair_offsets, n):
-    return _gather_rows_soa(src, idx, dest, pair_offsets, n), (idx.shape, dest, pair_offsets)
+def _gather_rows_fwd(src, idx, pair_offsets, n, nf):
+    return _gather_rows_soa(src, idx, pair_offsets, n, nf), (idx, pair_offsets)
 
 
-def _gather_rows_bwd(n, res, ct):
-    idx_shape, dest, pair_offsets = res
+def _gather_rows_bwd(n, nf, res, ct):
+    idx, pair_offsets = res
     cap = ct.shape[1]
-    # Cotangent rows in emission order: slots dropped at scatter time (dest ==
-    # cap) contribute nothing; padding slots are never pointed to by dest.
-    dest_c = jnp.minimum(dest, cap - 1)
-    g_e = jnp.where((dest < cap)[:, None], ct.T[dest_c], 0.0)  # [max_pairs, F]
-    csum = jnp.cumsum(g_e, axis=0)
-    lo = pair_offsets[:-1]
-    hi = pair_offsets[1:]
-    top = jnp.where((hi > 0)[:, None], csum[jnp.maximum(hi - 1, 0)], 0.0)
-    bot = jnp.where((lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0)
-    d_src = top - bot  # [N, F] in depth-rank space (matches src's row order)
+    f = ct.shape[0]
+    # Group cotangent slots by depth-rank gaussian: single-key sort on the
+    # rank (padding slots carry rank n and sink to the end), cotangent columns
+    # ride as payloads. Within-rank order is irrelevant — they get summed.
+    sorted_cols = jax.lax.sort(
+        (idx,) + tuple(ct[i] for i in range(nf)), num_keys=1, is_stable=False
+    )[1:]
+    csum = jnp.cumsum(jnp.stack(sorted_cols, axis=-1), axis=0)  # [cap, nf]
+    # Rank r's segment is [offsets[r], offsets[r+1]) (emission counts survive
+    # the tile sort unchanged; capacity-overflow drops invalidate the step and
+    # trigger the host-level retry, so exactness under overflow is not needed).
+    # d_src[r] = csum[off[r+1]-1] - csum[off[r]-1] -> ONE boundary row gather.
+    ends = jnp.minimum(pair_offsets, cap)  # [n+1]
+    rows = jnp.where((ends > 0)[:, None], csum[jnp.maximum(ends - 1, 0)], 0.0)
+    d_src = rows[1:] - rows[:-1]  # [n, nf] in depth-rank space
+    if nf < f:
+        d_src = jnp.pad(d_src, ((0, 0), (0, f - nf)))
     f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
-    return d_src, f0(idx_shape), f0(dest.shape), f0(pair_offsets.shape)
+    return d_src, f0(idx.shape), f0(pair_offsets.shape)
 
 
 _gather_rows_soa.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -244,7 +245,8 @@ def gather_pair_data(g: Gaussians2D, binned: BinnedPairs, fields: int = 16) -> j
     assert fields >= src.shape[-1], f"fields={fields} too small for C={c}"
     if fields > src.shape[-1]:
         src = jnp.pad(src, ((0, 0), (0, fields - src.shape[-1])))
+    nf = 6 + c  # real fields; rows beyond carry structural zeros
     src = src[binned.depth_order]  # pair slots index in depth-rank space
     return _gather_rows_soa(
-        src, binned.gauss_idx, binned.dest, binned.pair_offsets, g.mean2d.shape[0]
+        src, binned.gauss_idx, binned.pair_offsets, g.mean2d.shape[0], nf
     )
