@@ -31,6 +31,19 @@ import time
 
 import numpy as np
 
+
+def _enable_jit_cache():
+    """Persistent XLA compilation cache (keyed by HLO+flags+versions): the
+    full-step compile is ~6 min on the tunnel; reruns hit the disk cache."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gaustar_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_enable_jit_cache()
+
 REFERENCE_MPIX_S = 7.5
 W, H = 1600, 1024  # 1.6 MP (ActorsHQ 4x rig is ~1.5 MP/view, cameras.py:20)
 N_LAT, N_LON = 201, 250  # 2*250*200 = 100,000 faces -> 600,000 gaussians
@@ -88,7 +101,7 @@ def build_scene():
     # host-level auto-retry (train/refine.py) re-jits with doubled capacity if
     # a scene overflows.
     raster_cfg = RasterConfig(
-        max_pairs=1 << 21, max_padded=1 << 21, chunk=256, impl="pallas"
+        max_pairs=1_536_000, max_padded=1_536_000, chunk=256, impl="pallas"
     )
     return params, config, data, raster_cfg
 

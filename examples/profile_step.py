@@ -202,6 +202,76 @@ def main():
 
     stage("mesh_losses_fwdbwd", f_mesh, params.points)
 
+    # --- targeted backward sub-stages (run: python examples/profile_step.py x_) ---
+    def f_prep_fb(i, m):
+        def f(mm):
+            g = preprocess(mm, cov3d, opac, col4, camera)
+            return g.mean2d.sum() + g.conic.sum() + g.depth.sum() + g.color.sum()
+
+        l, gr = jax.value_and_grad(f)(m + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_preprocess_fwdbwd", f_prep_fb, centers)
+
+    def f_prim_fb(i, pts):
+        def f(pp):
+            p = dataclasses.replace(params, points=pp)
+            c = sugar.gaussian_centers(p, config)
+            cv = sugar.cov3d(p, config)
+            return c.sum() + cv.sum()
+
+        l, gr = jax.value_and_grad(f)(pts + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_primitives_fwdbwd", f_prim_fb, params.points)
+
+    def f_color_fb(i, pts):
+        def f(pp):
+            p = dataclasses.replace(params, points=pp)
+            pos = sugar.gaussian_centers(p, config)
+            rgb = sugar.points_rgb(p, pos, camera.camera_center, 2)
+            return rgb.sum()
+
+        l, gr = jax.value_and_grad(f)(pts + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_sh_color_fwdbwd", f_color_fb, params.points)
+
+    src16 = jnp.zeros((centers.shape[0], 16), jnp.float32)
+
+    def f_perm_fb(i, s):
+        def f(ss):
+            return (ss[binned.depth_order] * 2.0).sum()
+
+        l, gr = jax.value_and_grad(f)(s + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_permute600k_fwdbwd", f_perm_fb, src16)
+
+    def f_assemble_fb(i, ct):
+        def f(cc):
+            img = blend_jax.assemble_image(cc, grid_x, grid_y, W, H)
+            return img.sum()
+
+        l, gr = jax.value_and_grad(f)(ct + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_assemble_fwdbwd", f_assemble_fb, color_t4)
+
+    def f_gather_full_fb(i, o):
+        def f(oo):
+            gg = g4._replace(
+                opacity=oo,
+                mean2d=g4.mean2d + oo[:1].sum() * 0.0,
+            )
+            pd = binning.gather_pair_data(gg, binned)
+            return (pd * 1.0000001).sum()
+
+        l, gr = jax.value_and_grad(f)(o + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_gatherfull_fwdbwd", f_gather_full_fb, opac)
+
     # --- full loss fwd+bwd (one camera) ---
     n_g = params.scales.shape[0]
     uw = jnp.zeros((n_g,), jnp.float32)

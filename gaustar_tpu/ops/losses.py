@@ -36,32 +36,45 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return np.outer(g, g)
 
 
+def _rank1_factors(window: np.ndarray):
+    """(kcol, krow) if the window is rank-1 (SSIM's is outer(g, g)), else None.
+    Host-side: windows come from _gaussian_window constants."""
+    u, s, vt = np.linalg.svd(np.asarray(window, np.float32))
+    if s[1:].max(initial=0.0) < 1e-6 * s[0]:
+        kcol = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)
+        krow = (vt[0] * np.sqrt(s[0])).astype(np.float32)
+        return kcol, krow
+    return None
+
+
+def _sep_filter_bhw(x: jnp.ndarray, kcol: np.ndarray, krow: np.ndarray) -> jnp.ndarray:
+    """Separable zero-'same' filter over [B, H, W] as static shift-and-add.
+
+    Channels/fields ride the leading batch dim so W stays the TPU lane
+    dimension; the k static slices fuse into one vector pass. The NHWC
+    depthwise-conv form (C=3 in lanes, feature_group_count=3) lowers to ~3%
+    lane utilization and cost ~26 ms/step at 1.6 MP; this form is ~1 ms."""
+    h, w = len(kcol), len(krow)
+    H, W = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (h // 2, h // 2), (0, 0)))
+    x = sum(float(kcol[k]) * xp[:, k : k + H, :] for k in range(h))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (w // 2, w // 2)))
+    return sum(float(krow[k]) * xp[:, :, k : k + W] for k in range(w))
+
+
 def _filter2d_same(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """Depthwise 2D conv with zero 'same' padding. img: [H, W, C].
 
-    The SSIM Gaussian window is rank-1 (outer(g, g)), so the conv runs as two
-    separable 1D passes — k+k MACs/pixel instead of k*k (5.5x fewer at k=11;
-    the 2D form costs ~2 GFLOP/call at 1.6 MP and shows up in the step time).
-    Non-separable windows fall back to the dense depthwise conv."""
+    Rank-1 windows (SSIM's Gaussian) run as two separable shift-and-add passes
+    in channels-major layout; non-separable windows fall back to the dense
+    depthwise conv."""
     h, w = window.shape
     c = img.shape[-1]
-    win = np.asarray(window, np.float32)
-    # Rank-1 check on the HOST constant (windows come from _gaussian_window).
-    u, s, vt = np.linalg.svd(win)
-    if s[1:].max(initial=0.0) < 1e-6 * s[0]:
-        kcol = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)  # [h]
-        krow = (vt[0] * np.sqrt(s[0])).astype(np.float32)  # [w]
-        kv = jnp.broadcast_to(jnp.asarray(kcol)[:, None, None, None], (h, 1, 1, c))
-        kh = jnp.broadcast_to(jnp.asarray(krow)[None, :, None, None], (1, w, 1, c))
-        out = jax.lax.conv_general_dilated(
-            img[None], kv, (1, 1), ((h // 2, h // 2), (0, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        )
-        out = jax.lax.conv_general_dilated(
-            out, kh, (1, 1), ((0, 0), (w // 2, w // 2)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        )
-        return out[0]
+    fac = _rank1_factors(window)
+    if fac is not None:
+        kcol, krow = fac
+        out = _sep_filter_bhw(img.transpose(2, 0, 1), kcol, krow)
+        return out.transpose(1, 2, 0)
     kernel = jnp.broadcast_to(jnp.asarray(window)[:, :, None, None], (h, w, 1, c))
     out = jax.lax.conv_general_dilated(
         img[None],
@@ -74,23 +87,43 @@ def _filter2d_same(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return out[0]
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an [H, W, C] image pair (reference loss_utils.py:33-63)."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM map over an [H, W, C] pair (reference loss_utils.py:33-63).
+
+    The five filtered fields (mu1, mu2, E[x^2], E[y^2], E[xy]) are stacked into
+    one [5C, H, W] batch so the separable window runs as a single fused
+    shift-and-add pass (see _sep_filter_bhw)."""
     window = _gaussian_window(window_size, 1.5)
-    mu1 = _filter2d_same(img1, window)
-    mu2 = _filter2d_same(img2, window)
+    fac = _rank1_factors(window)
+    if fac is None:  # non-separable: per-field depthwise conv fallback
+        mu1 = _filter2d_same(img1, window)
+        mu2 = _filter2d_same(img2, window)
+        f = lambda x: _filter2d_same(x, window)
+        e11, e22, e12 = f(img1 * img1), f(img2 * img2), f(img1 * img2)
+    else:
+        c = img1.shape[-1]
+        stack = jnp.concatenate(
+            [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1
+        ).transpose(2, 0, 1)  # [5C, H, W]
+        out = _sep_filter_bhw(stack, *fac).transpose(1, 2, 0)
+        mu1, mu2 = out[..., 0:c], out[..., c : 2 * c]
+        e11, e22, e12 = out[..., 2 * c : 3 * c], out[..., 3 * c : 4 * c], out[..., 4 * c :]
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _filter2d_same(img1 * img1, window) - mu1_sq
-    sigma2_sq = _filter2d_same(img2 * img2, window) - mu2_sq
-    sigma12 = _filter2d_same(img1 * img2, window) - mu1_mu2
+    sigma1_sq = e11 - mu1_sq
+    sigma2_sq = e22 - mu2_sq
+    sigma12 = e12 - mu1_mu2
     c1 = 0.01**2
     c2 = 0.03**2
-    ssim_map = ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
+    return ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return ssim_map.mean()
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over an [H, W, C] image pair (reference loss_utils.py:33-63)."""
+    return ssim_map(img1, img2, window_size).mean()
 
 
 def rgb_loss(pred: jnp.ndarray, gt: jnp.ndarray, dssim_factor: float = 0.2) -> jnp.ndarray:
@@ -108,21 +141,44 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _face_corner_comps(verts: jnp.ndarray, faces: jnp.ndarray):
+    """Face corner coordinates as component arrays v[k][d] of shape [F]: one row
+    gather + slices, keeping downstream math on full-lane [F] vectors instead of
+    [F, 3, 3] broadcasts whose minor dims pad into (8, 128) vector tiles."""
+    f = faces.shape[0]
+    fv = verts[faces.reshape(-1)].reshape(f, 3, 3)
+    return [[fv[:, k, d] for d in range(3)] for k in range(3)]
+
+
+def _cross_comps(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def _face_area_normal_comps(verts, faces):
+    """(areas [F], normal components [nx, ny, nz] each [F]) — component-major."""
+    v = _face_corner_comps(verts, faces)
+    e1 = [v[1][d] - v[0][d] for d in range(3)]
+    e2 = [v[2][d] - v[0][d] for d in range(3)]
+    n = _cross_comps(e1, e2)
+    nn = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+    inv = 1.0 / jnp.maximum(nn, 1e-12)
+    return 0.5 * nn, [n[d] * inv for d in range(3)]
+
+
 def face_areas_normals(verts: jnp.ndarray, faces: jnp.ndarray):
     """Per-face areas [F] and unit normals [F, 3]."""
-    v = verts[faces]  # [F, 3, 3]
-    e1 = v[:, 1] - v[:, 0]
-    e2 = v[:, 2] - v[:, 0]
-    n = jnp.cross(e1, e2)
-    nn = l2norm(n)
-    areas = 0.5 * nn[..., 0]
-    normals = n / jnp.maximum(nn, 1e-12)
-    return areas, normals
+    areas, n = _face_area_normal_comps(verts, faces)
+    return areas, jnp.stack(n, axis=-1)
 
 
 def edge_lengths(verts: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
-    d = verts[edges[:, 0]] - verts[edges[:, 1]]
-    return l2norm(d, keepdims=False)
+    ev = verts[edges.reshape(-1)].reshape(-1, 2, 3)
+    d = [ev[:, 0, k] - ev[:, 1, k] for k in range(3)]
+    return jnp.sqrt(jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-24))
 
 
 def mesh_edge_isometry_loss(verts, edges, ref_lengths) -> jnp.ndarray:
@@ -172,7 +228,8 @@ def mesh_normal_consistency_loss(verts, faces, adj_faces: jnp.ndarray) -> jnp.nd
     which equals (1 - cos(normal angle)) up to the same stationary points; we use the
     face-normal form, which is the standard TPU-friendly formulation.
     """
-    _, normals = face_areas_normals(verts, faces)
-    n0 = normals[adj_faces[:, 0]]
-    n1 = normals[adj_faces[:, 1]]
-    return (1.0 - (n0 * n1).sum(-1)).mean()
+    _, n = _face_area_normal_comps(verts, faces)
+    normals = jnp.stack(n, axis=-1)  # [F, 3] — ONE row gather below, then slices
+    nv = normals[adj_faces.reshape(-1)].reshape(-1, 2, 3)
+    dot = sum(nv[:, 0, d] * nv[:, 1, d] for d in range(3))
+    return (1.0 - dot).mean()

@@ -123,18 +123,8 @@ def masked_rgb_loss(pred, gt, mask, dssim_factor=0.2):
     """0.8*L1 + 0.2*DSSIM over the masked region (see module docstring)."""
     m3 = mask[..., None]
     l1 = masked_mean(jnp.abs(pred - gt), jnp.broadcast_to(m3, pred.shape))
-    window = losses._gaussian_window(11, 1.5)
-    p = pred * m3
-    g = gt * m3
-    mu1 = losses._filter2d_same(p, window)
-    mu2 = losses._filter2d_same(g, window)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = losses._filter2d_same(p * p, window) - mu1_sq
-    s2 = losses._filter2d_same(g * g, window) - mu2_sq
-    s12 = losses._filter2d_same(p * g, window) - mu1_mu2
-    c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
-    ssim_v = masked_mean(ssim_map, jnp.broadcast_to(m3, ssim_map.shape))
+    smap = losses.ssim_map(pred * m3, gt * m3)
+    ssim_v = masked_mean(smap, jnp.broadcast_to(m3, smap.shape))
     return (1.0 - dssim_factor) * l1 + dssim_factor * (1.0 - ssim_v)
 
 
