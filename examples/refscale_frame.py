@@ -70,8 +70,11 @@ def main():
     pre = params.sh_dc[:, 0, :] * 0.0
 
     def make_segment(sh_deg):
+        # `data` rides as a jit ARGUMENT: closing over 40 cameras of GT (~1 GB)
+        # embeds it in the compile payload and overflows the remote compiler's
+        # request limit (HTTP 413 over the axon tunnel).
         @jax.jit
-        def run(params, opt_state, it0, n_steps, cam_idxs):
+        def run(params, opt_state, data, it0, n_steps, cam_idxs):
             def body(k, carry):
                 p, o, acc = carry
                 it = it0 + k
@@ -112,12 +115,19 @@ def main():
         sh_deg = min(q + 1, 3) - 1  # sh_deg_at: +1 level per iters/4
         it0 = q * seg_len + 1
 
-        cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=seg_len), jnp.int32)
+        # Sub-chunks of <= 50 iters per device call: one 500-iter execution is
+        # ~90 s on-device, which trips the tunnel's worker watchdog (observed
+        # "TPU worker process crashed"); 50-iter calls amortize dispatch fine.
         t0 = time.time()
-        params, opt_state, acc = segment(sh_deg)(
-            params, opt_state, jnp.int32(it0), seg_len, cam_idxs
-        )
-        acc = float(acc)  # host fetch = sync (axon: block_until_ready is a no-op)
+        acc = 0.0
+        inner = 50
+        run = segment(sh_deg)
+        for s0 in range(0, seg_len, inner):
+            cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=inner), jnp.int32)
+            params, opt_state, a = run(
+                params, opt_state, data, jnp.int32(it0 + s0), inner, cam_idxs
+            )
+            acc += float(a)  # host fetch = sync (axon: block_until_ready no-op)
         dt = time.time() - t0
         total_step_s += dt
         report["segments"].append(

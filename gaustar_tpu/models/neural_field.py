@@ -137,13 +137,16 @@ def query_color(p: HashGridParams, geo, dirs):
     return jax.nn.sigmoid(_mlp(p.mlp_color, x, 3))
 
 
-def render_rays(p: HashGridParams, origins, dirs, cfg: FieldConfig, key=None):
+def render_rays(p: HashGridParams, origins, dirs, cfg: FieldConfig, key=None,
+                occupancy: jnp.ndarray | None = None):
     """Volume-render rays [R, 3] -> (rgb [R, 3], alpha [R], depth [R]).
 
-    Uniform samples across the AABB [t_near, t_far] slab with optional jitter —
-    the uniform-stepping core of HumanRF's ray_sampler.cu (occupancy-grid
-    skipping is an optimization; XLA's fused mask makes dense stepping cheap at
-    these scales)."""
+    Uniform samples across the [t_near, t_far] slab with optional jitter — the
+    uniform-stepping core of HumanRF's ray_sampler.cu. When `occupancy` (a
+    [G,G,G] grid from occupancy_from_masks / occupancy_from_density) is given,
+    the slab is first tightened to the occupied span exactly like
+    ray_sampler.cu:11-78 (coarse march + 5-step bisection), concentrating the
+    same n_samples budget on the surface instead of empty space."""
     lo = jnp.asarray(cfg.aabb_min)
     hi = jnp.asarray(cfg.aabb_max)
     # ray/AABB intersection
@@ -152,6 +155,8 @@ def render_rays(p: HashGridParams, origins, dirs, cfg: FieldConfig, key=None):
     t1 = (hi[None] - origins) * inv
     tmin = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), 1e-3)
     tmax = jnp.maximum(jnp.maximum(t0, t1).min(axis=-1), tmin + 1e-3)
+    if occupancy is not None:
+        tmin, tmax = tighten_ray_bounds(occupancy, origins, dirs, tmin, tmax, cfg)
 
     n = cfg.n_samples
     frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
@@ -193,6 +198,136 @@ def density_grid(p: HashGridParams, cfg: FieldConfig, res: int = 256, chunk: int
         )
         out[i] = np.asarray(query(jnp.asarray(pts))).reshape(res, res)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Occupancy grids (HumanRF native/occupancy_grid.cu + ray_sampler.cu:11-78 +
+# toolbox occupancy_grid_generation.cu)
+# ---------------------------------------------------------------------------
+
+
+def occupancy_from_masks(cameras, masks, cfg: FieldConfig, res: int = 64,
+                         dilate: int = 1) -> jnp.ndarray:
+    """Visual-hull carving: [res]^3 occupancy (1.0/0.0) over the field AABB.
+
+    A cell stays occupied iff its center projects inside the foreground mask in
+    EVERY camera whose frustum sees it — the multi-view mask carving of
+    occupancy_grid_generation.cu, vectorized over cells with a host loop over
+    cameras (matches the reference's per-camera kernel launches). `dilate`
+    rounds of 3^3 max-pooling guard against carving true surface away through
+    mask erosion (the reference dilates its masks upstream)."""
+    lo = np.asarray(cfg.aabb_min, np.float32)
+    hi = np.asarray(cfg.aabb_max, np.float32)
+    axes = [np.linspace(lo[d] + (hi[d] - lo[d]) / (2 * res),
+                        hi[d] - (hi[d] - lo[d]) / (2 * res), res, dtype=np.float32)
+            for d in range(3)]
+    centers = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    centers_j = jnp.asarray(centers)
+
+    @jax.jit
+    def carve(occ, view, fx, fy, cx, cy, w, h, mask):
+        cam_pts = centers_j @ view[:3, :3].T + view[:3, 3]
+        z = cam_pts[:, 2]
+        px = cam_pts[:, 0] / jnp.maximum(z, 1e-6) * fx + cx
+        py = cam_pts[:, 1] / jnp.maximum(z, 1e-6) * fy + cy
+        seen = (z > 1e-3) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        ix = jnp.clip(px.astype(jnp.int32), 0, mask.shape[1] - 1)
+        iy = jnp.clip(py.astype(jnp.int32), 0, mask.shape[0] - 1)
+        fg = mask[iy, ix] > 0.5
+        return occ & jnp.where(seen, fg, True)
+
+    occ = jnp.ones((centers.shape[0],), bool)
+    for cam, mask in zip(cameras, masks):
+        fx = cam.width / (2.0 * float(np.asarray(cam.tanfovx)))
+        fy = cam.height / (2.0 * float(np.asarray(cam.tanfovy)))
+        occ = carve(occ, cam.view, fx, fy, cam.cx, cam.cy,
+                    float(cam.width), float(cam.height), jnp.asarray(mask))
+    grid = occ.reshape(res, res, res).astype(jnp.float32)
+    for _ in range(dilate):
+        grid = dilate_occupancy(grid)
+    return grid
+
+
+def occupancy_from_density(p: HashGridParams, cfg: FieldConfig, res: int = 64,
+                           threshold: float = 1.0, dilate: int = 1) -> jnp.ndarray:
+    """Occupancy from the trained field itself (HumanRF refreshes its grids from
+    density during training): sigma at cell centers > threshold, dilated."""
+    grid = jnp.asarray(density_grid(p, cfg, res=res)) > threshold
+    grid = grid.astype(jnp.float32)
+    for _ in range(dilate):
+        grid = dilate_occupancy(grid)
+    return grid
+
+
+def dilate_occupancy(grid: jnp.ndarray) -> jnp.ndarray:
+    """One round of 3^3 max-pool dilation."""
+    return jax.lax.reduce_window(
+        grid, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+
+
+def _occ_lookup(occ: jnp.ndarray, pts: jnp.ndarray, cfg: FieldConfig) -> jnp.ndarray:
+    """Nearest-cell occupancy at world points [..., 3] -> [...] (0/1)."""
+    res = occ.shape[0]
+    lo = jnp.asarray(cfg.aabb_min)
+    hi = jnp.asarray(cfg.aabb_max)
+    u = (pts - lo) / (hi - lo)
+    idx = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    flat = (idx[..., 0] * res + idx[..., 1]) * res + idx[..., 2]
+    inside = ((u >= 0.0) & (u < 1.0)).all(axis=-1)
+    return jnp.where(inside, occ.reshape(-1)[flat], 0.0)
+
+
+def tighten_ray_bounds(occ: jnp.ndarray, origins, dirs, tmin, tmax,
+                       cfg: FieldConfig, n_coarse: int = 64, n_bisect: int = 5):
+    """Shrink per-ray [tmin, tmax] to the occupied span (ray_sampler.cu:11-78).
+
+    Coarse pass: occupancy at n_coarse points along each ray; first/last
+    occupied sample bracket the span. Refinement: n_bisect fixed bisection steps
+    per end (the reference's 5-step refinement), fully vectorized over rays —
+    the CUDA per-thread while loops become masked lane ops. Rays that hit
+    nothing collapse to [tmin, tmin] (zero-length: samples all land at tmin and
+    render as empty)."""
+    r = origins.shape[0]
+    frac = (jnp.arange(n_coarse, dtype=jnp.float32) + 0.5) / n_coarse
+    ts = tmin[:, None] + frac[None, :] * (tmax - tmin)[:, None]  # [R, K]
+    pts = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+    hit = _occ_lookup(occ, pts, cfg) > 0.5  # [R, K]
+    any_hit = hit.any(axis=1)
+    kidx = jnp.arange(n_coarse)
+    first = jnp.where(hit, kidx[None], n_coarse).min(axis=1)
+    last = jnp.where(hit, kidx[None], -1).max(axis=1)
+    step = (tmax - tmin) / n_coarse
+
+    # Front end: occupied somewhere in (t_at(first-1), t_at(first)); bisect.
+    def t_at(k):
+        return tmin + (k.astype(jnp.float32) + 0.5) * step
+
+    lo_f = t_at(jnp.maximum(first - 1, 0))
+    hi_f = t_at(first)
+    lo_b = t_at(last)
+    hi_b = t_at(jnp.minimum(last + 1, n_coarse - 1))
+
+    def bisect(carry, _):
+        lo_f, hi_f, lo_b, hi_b = carry
+        mid_f = 0.5 * (lo_f + hi_f)
+        pf = origins + dirs * mid_f[:, None]
+        occ_f = _occ_lookup(occ, pf, cfg) > 0.5
+        lo_f = jnp.where(occ_f, lo_f, mid_f)
+        hi_f = jnp.where(occ_f, mid_f, hi_f)
+        mid_b = 0.5 * (lo_b + hi_b)
+        pb = origins + dirs * mid_b[:, None]
+        occ_b = _occ_lookup(occ, pb, cfg) > 0.5
+        lo_b = jnp.where(occ_b, mid_b, lo_b)  # advance the occupied frontier
+        hi_b = jnp.where(occ_b, hi_b, mid_b)  # shrink only from the empty side
+        return (lo_f, hi_f, lo_b, hi_b), None
+
+    (lo_f, hi_f, lo_b, hi_b), _ = jax.lax.scan(
+        bisect, (lo_f, hi_f, lo_b, hi_b), None, length=n_bisect
+    )
+    new_tmin = jnp.where(any_hit, jnp.maximum(lo_f, tmin), tmin)
+    new_tmax = jnp.where(any_hit, jnp.minimum(hi_b, tmax), tmin)
+    return new_tmin, jnp.maximum(new_tmax, new_tmin)
 
 
 # ---------------------------------------------------------------------------

@@ -72,16 +72,6 @@ def _scan_mul_incl(x):
     return x
 
 
-def _scan_max_incl(x):
-    n = x.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 1
-    while k < n:
-        x = jnp.maximum(x, jnp.where(idx >= k, _roll(x, k, 1), 0.0))
-        k <<= 1
-    return x
-
-
 def _suffix_mul_incl(x):
     """sp_i = prod_{j >= i} x_j along axis 1."""
     n = x.shape[1]
@@ -208,18 +198,20 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *,
         a0, contrib, _, _, _ = _chunk_alphas(d, px, py)
         notdone = jnp.logical_not(done)
 
-        # TWO cumulative scans per chunk (was three): E = prefix prod of (1-a0)
-        # gives both the stop test and the exclusive-prefix transmittance
-        # (t_before = T*E/om0, valid wherever a0 > 0 since om0 >= 0.01 there);
-        # the post-stop exclusion needs no third scan because excluded pairs
-        # have w = 0 and the held T equals t_incl/om0 at the FIRST flag, which
-        # is the max over flagged positions (E is non-increasing).
+        # ONE cumulative scan per chunk (was three, then two): E = prefix prod
+        # of (1-a0). t_incl = T*E is NON-INCREASING along the chunk (each factor
+        # <= 1), so the sticky-stop set needs no cummax scan: every pair at or
+        # after the first crossing already has t_incl < 1e-4, hence
+        # included = contrib & (t_incl >= 1e-4) — identical to walking the
+        # CUDA loop's break (forward.cu:335-351, crossing pair excluded). The
+        # held T is t_incl/om0 at the FIRST flag = the max over flagged
+        # positions (t_before is non-increasing too). t_before = T*E/om0 is
+        # valid wherever a0 > 0 since om0 >= 0.01 there.
         om0 = 1.0 - a0
         E = _scan_mul_incl(om0)
         t_incl = T * E  # T after i assuming all contribute
         flag = contrib & (t_incl < 1e-4) & notdone
-        stopped = _scan_max_incl(flag.astype(jnp.float32)) > 0.0
-        included = contrib & jnp.logical_not(stopped) & notdone
+        included = contrib & (t_incl >= 1e-4) & notdone
         t_before = T * E / om0
         w = jnp.where(included, a0 * t_before, 0.0)  # [PIX, chunk]
         for ch in range(channels):

@@ -100,15 +100,77 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+def _basis_terms(deg: int, x, y, z):
+    """SH basis polynomials as a flat list of [N] arrays with their signs folded
+    in, band order matching eval_sh."""
+    terms = [None]  # band 0 handled by C0 directly
+    if deg > 0:
+        terms += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            terms += [
+                C2[0] * x * y,
+                C2[1] * y * z,
+                C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * x * z,
+                C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                terms += [
+                    C3[0] * y * (3.0 * xx - yy),
+                    C3[1] * x * y * z,
+                    C3[2] * y * (4.0 * zz - xx - yy),
+                    C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    C3[4] * x * (4.0 * zz - xx - yy),
+                    C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3.0 * yy),
+                ]
+                if deg > 3:
+                    terms += [
+                        C4[0] * x * y * (xx - yy),
+                        C4[1] * y * z * (3.0 * xx - yy),
+                        C4[2] * x * y * (7.0 * zz - 1.0),
+                        C4[3] * y * z * (7.0 * zz - 3.0),
+                        C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+                        C4[5] * x * z * (7.0 * zz - 3.0),
+                        C4[6] * (xx - yy) * (7.0 * zz - 1.0),
+                        C4[7] * x * z * (xx - 3.0 * yy),
+                        C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
+                    ]
+    return terms
+
+
+def eval_sh_soa(deg: int, sh_t: jnp.ndarray, x, y, z) -> jnp.ndarray:
+    """Component-major SH eval: sh_t [K, C, N], unit-dir components [N] each ->
+    [N, C]. Same math as eval_sh, but every op is a full-lane [N] vector — the
+    [N, K, C] form's [N, 3]-shaped band accumulations run at 3/128 lane
+    utilization and cost ~4x more on TPU (ROOFLINE.md)."""
+    assert 0 <= deg <= 4
+    k = num_sh_coeffs(deg)
+    assert sh_t.shape[0] >= k
+    c = sh_t.shape[1]
+    terms = _basis_terms(deg, x, y, z)
+    out = [C0 * sh_t[0, ch] for ch in range(c)]
+    for band in range(1, k):
+        b = terms[band]
+        for ch in range(c):
+            out[ch] = out[ch] + b * sh_t[band, ch]
+    return jnp.stack(out, axis=-1)
+
+
 def sh_to_rgb(deg: int, sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:
     """Rasterizer-style SH color: eval at view direction, +0.5 offset, clamp >= 0.
 
     Mirrors computeColorFromSH (forward.cu:20-71). The clamp mask is what the CUDA
     backward replays; jnp.maximum's VJP reproduces it exactly.
     """
-    dirs = positions - campos
-    dirs = dirs / l2norm(dirs)
-    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+    d = positions - campos
+    inv = 1.0 / jnp.maximum(
+        jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2), 1e-12
+    )
+    x, y, z = d[:, 0] * inv, d[:, 1] * inv, d[:, 2] * inv
+    sh_t = sh.transpose(1, 2, 0)  # [K, C, N]: ONE relayout, then full-lane math
+    return jnp.maximum(eval_sh_soa(deg, sh_t, x, y, z) + 0.5, 0.0)
 
 
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -36,6 +36,12 @@ class InitMeshConfig:
     target_faces: int = 100_000  # trainer.py:661
     smooth_iters: int = 10  # trainer.py:744
     outlier_face_threshold: int = 1000
+    # Occupancy guidance (HumanRF ray_sampler.cu / occupancy_grid_generation.cu):
+    # carve a visual-hull grid from the masks, tighten every training ray's
+    # sample slab to it, and mask the extraction density grid with it.
+    use_occupancy: bool = True
+    occupancy_res: int = 64
+    occupancy_dilate: int = 1
 
 
 def rays_for_pixels(camera: Camera, px, py):
@@ -62,12 +68,26 @@ def train_field(
     seed: int = 0,
     log_fn=None,
 ):
-    """Optimize the neural field on a multiview frame. Returns (params, field_cfg)."""
+    """Optimize the neural field on a multiview frame.
+
+    Returns (params, field_cfg, occupancy). With cfg.use_occupancy the
+    visual-hull grid both tightens every ray's sample slab (ray_sampler.cu) and
+    MUST mask the extraction grid (pass it to extract_init_mesh): space outside
+    the hull is never sampled during training, so the field keeps its init
+    density there — exactly why HumanRF's extraction is occupancy-masked
+    (trainer.py:676-700)."""
     if field_cfg is None:
         field_cfg = nf.FieldConfig()
     params = nf.init_field(field_cfg, seed)
     opt = optax.adam(cfg.lr, b1=0.9, b2=0.99, eps=1e-15)
     opt_state = opt.init(params)
+
+    occ = None
+    if cfg.use_occupancy:
+        occ = nf.occupancy_from_masks(
+            cameras, masks, field_cfg, res=cfg.occupancy_res,
+            dilate=cfg.occupancy_dilate,
+        )
 
     c, h, w = images.shape[:3]
     images_j = jnp.asarray(images)
@@ -80,7 +100,8 @@ def train_field(
     @jax.jit
     def step(params, opt_state, key, origins, dirs, gt_rgb, gt_mask):
         def loss_fn(p):
-            rgb, alpha, _ = nf.render_rays(p, origins, dirs, field_cfg, key)
+            rgb, alpha, _ = nf.render_rays(p, origins, dirs, field_cfg, key,
+                                           occupancy=occ)
             photo = ((rgb - gt_rgb) ** 2 * gt_mask[:, None]).mean()
             mask_l = ((alpha - gt_mask) ** 2).mean()
             return photo + cfg.mask_loss_weight * mask_l
@@ -109,17 +130,27 @@ def train_field(
         params, opt_state, loss = step(params, opt_state, sub, o, d, gt_rgb, gt_mask)
         if log_fn and (it + 1) % 200 == 0:
             log_fn({"iteration": it + 1, "loss": float(loss)})
-    return params, field_cfg
+    return params, field_cfg, occ
 
 
-def extract_init_mesh(params, field_cfg: nf.FieldConfig, cfg: InitMeshConfig = InitMeshConfig()):
+def extract_init_mesh(params, field_cfg: nf.FieldConfig, cfg: InitMeshConfig = InitMeshConfig(),
+                      occupancy=None):
     """Density grid -> iso surface -> CC filter -> smooth -> decimate
-    (humanrf trainer.py:630-752)."""
+    (humanrf trainer.py:630-752). `occupancy` ([G,G,G] from
+    nf.occupancy_from_masks) masks the density grid before extraction, like the
+    reference's occupancy-masked 512^3 grid (trainer.py:676-700)."""
     import dataclasses as dc
 
     from gaustar_tpu import native
 
     grid = nf.density_grid(params, field_cfg, res=cfg.grid_res)
+    if occupancy is not None:
+        occ = np.asarray(occupancy)
+        g = occ.shape[0]
+        # nearest-upsample the occupancy to the extraction grid
+        scale = cfg.grid_res / g
+        ix = np.minimum((np.arange(cfg.grid_res) / scale).astype(np.int64), g - 1)
+        grid = grid * occ[np.ix_(ix, ix, ix)].astype(grid.dtype)
     # Signed field: positive outside (density below iso), negative inside —
     # reuse the marching-tets extractor by packaging as a pseudo-TSDF volume.
     lo = np.asarray(field_cfg.aabb_min)

@@ -55,7 +55,7 @@ def test_field_fits_sphere_and_extracts_mesh():
         iterations=150, rays_per_batch=2048, grid_res=48, iso_level=5.0,
         target_faces=5000, outlier_face_threshold=50,
     )
-    params, fcfg = init_mesh.train_field(cams, images, masks, icfg, fcfg)
+    params, fcfg, occ = init_mesh.train_field(cams, images, masks, icfg, fcfg)
 
     # alpha along a center ray should be high, corner ray low
     cam = cams[0]
@@ -64,7 +64,7 @@ def test_field_fits_sphere_and_extracts_mesh():
     assert float(alpha[0]) > 0.5, float(alpha[0])
     assert float(alpha[1]) < 0.4, float(alpha[1])
 
-    mesh = init_mesh.extract_init_mesh(params, fcfg, icfg)
+    mesh = init_mesh.extract_init_mesh(params, fcfg, icfg, occupancy=occ)
     assert len(mesh.faces) > 100
     d_center = np.linalg.norm(mesh.verts - center, axis=-1)
     assert np.median(d_center) < 0.8, np.median(d_center)
@@ -90,3 +90,69 @@ def test_adaptive_partition():
     assert sum(e - s for s, e in segs) == len(motion)
     # the big-motion frame forces a boundary at or before it
     assert any(e == 11 for s, e in segs)
+
+
+def _sphere_views(n_cams=4, wh=32, center=(0.0, 0.0, 4.0), radius=0.5):
+    center = np.asarray(center)
+    cams = ring_cameras(n_cams, w=wh, h=wh, focal=40.0)
+    masks = []
+    for cam in cams:
+        px, py = np.meshgrid(np.arange(wh) + 0.5, np.arange(wh) + 0.5)
+        o, d = init_mesh.rays_for_pixels(
+            cam, jnp.asarray(px.ravel(), jnp.float32), jnp.asarray(py.ravel(), jnp.float32)
+        )
+        o, d = np.asarray(o), np.asarray(d)
+        oc = o - center
+        b = (oc * d).sum(-1)
+        c = (oc * oc).sum(-1) - radius**2
+        masks.append((b * b - c > 0).reshape(wh, wh).astype(np.float32))
+    return cams, np.stack(masks)
+
+
+def test_occupancy_from_masks_carves_visual_hull():
+    cfg = nf.FieldConfig(aabb_min=(-1, -1, 3.0), aabb_max=(1, 1, 5.0))
+    cams, masks = _sphere_views()
+    occ = np.asarray(nf.occupancy_from_masks(cams, masks, cfg, res=32, dilate=0))
+    # cell containing the sphere center is occupied; AABB corners are carved
+    assert occ[16, 16, 16] == 1.0
+    assert occ[0, 0, 0] == 0.0 and occ[-1, -1, -1] == 0.0
+    # hull volume is a small fraction of the box but larger than the sphere
+    frac = occ.mean()
+    sphere_frac = (4 / 3 * np.pi * 0.5**3) / 8.0
+    assert sphere_frac * 0.8 < frac < 0.5, frac
+
+
+def test_tighten_ray_bounds_brackets_surface():
+    cfg = nf.FieldConfig(aabb_min=(-1, -1, 3.0), aabb_max=(1, 1, 5.0))
+    cams, masks = _sphere_views()
+    occ = nf.occupancy_from_masks(cams, masks, cfg, res=32, dilate=0)
+    # ray straight through the sphere center from z=0
+    o = jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.9, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], jnp.float32)
+    tmin = jnp.asarray([3.0, 3.0], jnp.float32)
+    tmax = jnp.asarray([5.0, 5.0], jnp.float32)
+    lo, hi = nf.tighten_ray_bounds(occ, o, d, tmin, tmax, cfg)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    # center ray: bounds bracket the sphere span [3.5, 4.5] within a coarse step
+    step = 2.0 / 64
+    assert 3.5 - 3 * step - 0.0625 <= lo[0] <= 3.5 + 0.0625, lo[0]
+    assert 4.5 - 0.0625 <= hi[0] <= 4.5 + 3 * step + 0.0625, hi[0]
+    assert hi[0] - lo[0] < 1.6  # genuinely tightened from the 2.0 slab
+    # corner ray misses the hull: collapses to zero length
+    assert hi[1] - lo[1] < 1e-6
+
+
+def test_render_rays_with_occupancy_matches_dense():
+    cfg = nf.FieldConfig(
+        n_levels=4, table_size=1 << 10, base_res=4, max_res=32,
+        aabb_min=(-1, -1, 3.0), aabb_max=(1, 1, 5.0), n_samples=96,
+    )
+    p = nf.init_field(cfg, seed=1)
+    occ_full = jnp.ones((16, 16, 16), jnp.float32)
+    o = jnp.asarray([[0.1, -0.2, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    rgb0, a0, dep0 = nf.render_rays(p, o, d, cfg)
+    rgb1, a1, dep1 = nf.render_rays(p, o, d, cfg, occupancy=occ_full)
+    # all-occupied grid tightens by at most one coarse step at each end
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=0.05)
+    np.testing.assert_allclose(np.asarray(rgb0), np.asarray(rgb1), atol=0.05)

@@ -42,3 +42,18 @@ def test_deg1_matches_manual():
     )
     out = sh.eval_sh(1, jnp.asarray(coeffs), jnp.asarray(dirs))[:, 0]
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_eval_sh_soa_matches_eval_sh_all_degrees():
+    rng = np.random.default_rng(3)
+    n, c = 257, 3
+    coeffs = rng.normal(size=(n, 25, c)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    x, y, z = (jnp.asarray(dirs[:, i]) for i in range(3))
+    sh_t = jnp.asarray(coeffs).transpose(1, 2, 0)
+    for deg in range(5):
+        k = (deg + 1) ** 2
+        ref = sh.eval_sh(deg, jnp.asarray(coeffs[:, :k]), jnp.asarray(dirs))
+        got = sh.eval_sh_soa(deg, sh_t[:k], x, y, z)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
