@@ -58,6 +58,51 @@ def load_sugar(path: str):
     return params, config, int(data.get("iteration", 0))
 
 
+def save_refine_state(path: str, params: sugar.SuGaRParams, opt_state,
+                      iteration: int, unbind_weight=None, loose_bind: bool = False):
+    """MID-FRAME refine checkpoint (beyond the reference: refined_training can
+    only restart a frame from the mesh, SURVEY §5). Pickle-free: the optimizer
+    state is stored as ordered tree leaves; load_refine_state restores them
+    into a treedef rebuilt by the caller's `optimizer.init(params)`."""
+    import jax
+
+    arrays = {name: np.asarray(getattr(params, name)) for name in _PARAM_FIELDS}
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+        arrays[f"opt_{i:04d}"] = np.asarray(leaf)
+    arrays["iteration"] = np.asarray(iteration)
+    arrays["loose_bind"] = np.asarray(int(loose_bind))
+    if unbind_weight is not None:
+        arrays["unbind_weight"] = np.asarray(unbind_weight)
+    np.savez_compressed(path, **arrays)
+
+
+def load_refine_state(path: str, opt_state_template):
+    """Returns (params, opt_state, iteration, unbind_weight|None, loose_bind).
+
+    `opt_state_template` supplies the treedef (call `optimizer.init(params)`
+    with the SAME optimizer construction); leaf count/shape mismatches raise."""
+    import jax
+
+    data = dict(np.load(path))
+    params = sugar.SuGaRParams(**{n: jnp.asarray(data[n]) for n in _PARAM_FIELDS})
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    keys = sorted(k for k in data if k.startswith("opt_"))
+    if len(keys) != len(leaves):
+        raise ValueError(
+            f"optimizer state mismatch: checkpoint has {len(keys)} leaves, "
+            f"template has {len(leaves)} — was the optimizer built identically?"
+        )
+    new_leaves = []
+    for k, tpl in zip(keys, leaves):
+        arr = data[k]
+        if np.shape(tpl) != arr.shape:
+            raise ValueError(f"optimizer leaf {k} shape {arr.shape} != template {np.shape(tpl)}")
+        new_leaves.append(jnp.asarray(arr).astype(jnp.asarray(tpl).dtype))
+    opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    uw = jnp.asarray(data["unbind_weight"]) if "unbind_weight" in data else None
+    return params, opt_state, int(data["iteration"]), uw, bool(int(data["loose_bind"]))
+
+
 def sugar_to_gaussians(params: sugar.SuGaRParams, config: sugar.SuGaRConfig) -> gaussians.GaussianParams:
     """Vanilla 3DGS export (sugar_model.py:1416-1437): positions, opacity logits,
     SH, log of the CLAMPED 3-axis scaling, normalized quaternions."""

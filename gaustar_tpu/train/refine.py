@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -293,6 +294,9 @@ def refine_frame(
     log_every: int = 50,
     log_fn: Callable | None = None,
     config_dump_path: str | None = None,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
+    resume: bool = False,
 ):
     """Full refinement of one frame (refined_training, refine.py:39-866).
 
@@ -344,7 +348,31 @@ def refine_frame(
     history = []
     loose = model_config.loose_bind
 
-    for it in range(1, cfg.num_iterations + 1):
+    # MID-FRAME resume (beyond the reference, which restarts the frame from the
+    # mesh): restore params/opt/iteration, replay the loose-bind transition,
+    # and fast-forward the camera-order rng so the schedule is bit-identical to
+    # an uninterrupted run.
+    start_it = 1
+    if resume and checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from gaustar_tpu.io import checkpoint as ckpt_io
+
+        params, opt_state, done_it, uw_saved, was_loose = ckpt_io.load_refine_state(
+            checkpoint_path, opt_state
+        )
+        if was_loose and not loose:
+            params, model_config = sugar.loose_bound(params, model_config)
+            loose = True
+            step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+        if uw_saved is not None:
+            unbind_weight = uw_saved
+        start_it = done_it + 1
+        for _ in range(done_it):
+            if cursor >= n_cams:
+                order = rng.permutation(n_cams)
+                cursor = 0
+            cursor += 1
+
+    for it in range(start_it, cfg.num_iterations + 1):
         if cursor >= n_cams:
             order = rng.permutation(n_cams)
             cursor = 0
@@ -406,5 +434,12 @@ def refine_frame(
                 step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
                 if log_fn:
                     log_fn({"iteration": it, "capacity_retry_max_pairs": new_pairs})
+
+        if checkpoint_every and checkpoint_path and it % checkpoint_every == 0:
+            from gaustar_tpu.io import checkpoint as ckpt_io
+
+            ckpt_io.save_refine_state(
+                checkpoint_path, params, opt_state, it, unbind_weight, loose
+            )
 
     return params, model_config, history

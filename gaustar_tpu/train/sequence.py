@@ -76,6 +76,64 @@ class SequenceConfig:
     # Scaled-down test scenes may boost it so unbound gaussians can migrate to
     # new surfaces within their (much smaller) iteration budget.
     spatial_lr_scale: float | None = None
+    # Seed grafted (untracked) faces' colors by multi-view GT voting instead of
+    # the TSDF fusion colors, which are integrated from half-trained renders and
+    # converge slowly in the post-update re-refine (dark-patch artifact at short
+    # budgets). Same voting as the dataset's initial coloring (ahq2gaustar
+    # :124-160). Off = the reference's raw fusion-color behavior.
+    recolor_new_faces: bool = True
+    recolor_depth_agreement: float = 0.02
+
+
+def _recolor_new_vertices(um, track_face_mask, cams, gt_images, gt_depths,
+                          vc, depth_agreement=0.02, max_depth=10.0):
+    """Replace colors of vertices introduced by the mesh update with multi-view
+    GT color votes (projection + depth-visibility, like ahq2gaustar.py:124-160).
+    Vertices also used by tracked faces, and unobserved vertices, keep `vc`."""
+    faces = np.asarray(um.faces)
+    # track_face_mask indexes the ORIGINAL mesh's faces; surviving tracked
+    # faces occupy the PREFIX of the updated mesh (the tracking-prefix
+    # invariant, refined_mesh.py:656-664), so the updated mesh's tracked set is
+    # faces [0, sum(mask)).
+    n_tracked = int(np.asarray(track_face_mask, bool).sum())
+    tracked = np.zeros(len(faces), bool)
+    tracked[:n_tracked] = True
+    used_by_tracked = np.zeros(len(um.verts), bool)
+    used_by_new = np.zeros(len(um.verts), bool)
+    if tracked.any():
+        used_by_tracked[np.unique(faces[tracked])] = True
+    if (~tracked).any():
+        used_by_new[np.unique(faces[~tracked])] = True
+    new_verts = used_by_new & ~used_by_tracked
+    if not new_verts.any():
+        return vc
+
+    verts = np.asarray(um.verts, np.float64)[new_verts]
+    acc = np.zeros((len(verts), 3))
+    cnt = np.zeros(len(verts))
+    for ci, cam in enumerate(cams):
+        view = np.asarray(cam.view)
+        local = verts @ view[:3, :3].T + view[:3, 3]
+        z = local[:, 2]
+        fx = cam.width / (2.0 * float(np.asarray(cam.tanfovx)))
+        fy = cam.height / (2.0 * float(np.asarray(cam.tanfovy)))
+        px = local[:, 0] / np.maximum(z, 1e-6) * fx + float(np.asarray(cam.cx))
+        py = local[:, 1] / np.maximum(z, 1e-6) * fy + float(np.asarray(cam.cy))
+        ix = np.int32(px + 0.5)
+        iy = np.int32(py + 0.5)
+        ok = (z > 1e-3) & (ix >= 0) & (ix < cam.width) & (iy >= 0) & (iy < cam.height)
+        ixc = np.clip(ix, 0, cam.width - 1)
+        iyc = np.clip(iy, 0, cam.height - 1)
+        d = np.asarray(gt_depths[ci])[iyc, ixc]
+        vis = ok & (np.abs(z - d) < depth_agreement) & (d < max_depth)
+        col = np.asarray(gt_images[ci])[iyc, ixc]
+        acc[vis] += col[vis]
+        cnt[vis] += 1
+    seen = cnt >= 1
+    out = np.array(vc, np.float64, copy=True)
+    idx = np.flatnonzero(new_verts)[seen]
+    out[idx] = acc[seen] / cnt[seen, None]
+    return out
 
 
 def _mesh_stats(verts, faces):
@@ -241,6 +299,11 @@ def run_sequence(
                 )
                 # Re-refine on the updated mesh, half iterations, no unbind.
                 vc = _face_colors_to_vertex(um)
+                if seq.recolor_new_faces:
+                    vc = _recolor_new_vertices(
+                        um, out["track_face_mask"], cams, gt_images, gt_depths,
+                        vc, seq.recolor_depth_agreement, seq.max_depth,
+                    )
                 params, config, data, topo, _ = refine_one_frame(
                     seq, f_idx, um.verts.astype(np.float32), um.faces.astype(np.int32),
                     vc, cams, gt_images, gt_depths, raster_cfg,

@@ -78,3 +78,34 @@ def test_margins():
     mask = np.asarray(refine.margin_mask(jnp.asarray(m[0]), 48, 48))
     assert mask[0, 0] == 0 and mask[24, 24] == 1
     assert mask[:, :5].sum() == 0 and mask[:, -1].sum() == 0
+
+
+def test_midframe_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Mid-frame resume (beyond the reference): interrupt at iteration 6 of 12,
+    resume from the checkpoint, final params match the uninterrupted run."""
+    params, config, data, target, rcfg = synthetic_frame()
+    cfg = RefineConfig(num_iterations=12, loose_bind_from=10_000, do_sh_warmup=False)
+    ck = str(tmp_path / "mid.npz")
+
+    # Uninterrupted run (also writes checkpoints, which must not perturb it).
+    p_full, _, _ = refine.refine_frame(
+        params, config, data, cfg, rcfg, log_every=0,
+        checkpoint_every=6, checkpoint_path=str(tmp_path / "other.npz"),
+    )
+
+    # Interrupted: run only 6 iterations by checkpointing at 6 then resuming.
+    cfg6 = RefineConfig(num_iterations=6, loose_bind_from=10_000, do_sh_warmup=False)
+    refine.refine_frame(
+        params, config, data, cfg6, rcfg, log_every=0,
+        checkpoint_every=6, checkpoint_path=ck,
+    )
+    p_res, _, _ = refine.refine_frame(
+        params, config, data, cfg, rcfg, log_every=0,
+        checkpoint_path=ck, resume=True,
+    )
+
+    for name in ("points", "sh_dc", "scales", "densities"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(p_res, name)), np.asarray(getattr(p_full, name)),
+            rtol=1e-6, atol=1e-7, err_msg=name,
+        )
