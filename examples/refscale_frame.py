@@ -122,17 +122,24 @@ def main():
         acc = 0.0
         inner = 50
         run = segment(sh_deg)
+        first_nan = None
         for s0 in range(0, seg_len, inner):
             cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=inner), jnp.int32)
             params, opt_state, a = run(
                 params, opt_state, data, jnp.int32(it0 + s0), inner, cam_idxs
             )
-            acc += float(a)  # host fetch = sync (axon: block_until_ready no-op)
+            a = float(a)  # host fetch = sync (axon: block_until_ready no-op)
+            if first_nan is None and not np.isfinite(a):
+                first_nan = it0 + s0
+                print(f"  NaN/inf loss first seen in chunk starting it {first_nan}",
+                      flush=True)
+            acc += a
         dt = time.time() - t0
         total_step_s += dt
         report["segments"].append(
             {"sh_deg": sh_deg, "iters": seg_len, "wall_s": round(dt, 2),
-             "ms_per_iter": round(dt / seg_len * 1e3, 2), "loss_sum": acc}
+             "ms_per_iter": round(dt / seg_len * 1e3, 2), "loss_sum": acc,
+             "first_nonfinite_chunk_it": first_nan}
         )
         print(f"segment {q}: sh_deg {sh_deg}, {seg_len} iters, {dt:.1f}s "
               f"({dt/seg_len*1e3:.1f} ms/iter), loss_sum {acc:.3f}", flush=True)
@@ -152,8 +159,10 @@ def main():
 
     mem = {}
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        mem = {k: int(v) for k, v in stats.items() if "bytes" in k}
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: int(v) for k, v in stats.items() if "bytes" in k} or {
+            "unavailable": "memory_stats() empty"
+        }
     except Exception as e:  # axon may not expose memory stats
         mem = {"unavailable": str(e)}
 

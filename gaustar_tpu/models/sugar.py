@@ -192,8 +192,9 @@ def _cross3(a, b):
 
 
 def _normalize3(v, eps=1e-12):
-    # same formula as utils.general.normalize (sqrt-sum, max-eps, divide)
-    n = jnp.maximum(jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]), eps)
+    # Same formula as utils.general.normalize. Clamp INSIDE the sqrt so a
+    # zero vector (degenerate face) has gradient 0 instead of 0*inf = NaN.
+    n = jnp.sqrt(jnp.maximum(v[0] * v[0] + v[1] * v[1] + v[2] * v[2], eps * eps))
     return [v[0] / n, v[1] / n, v[2] / n]
 
 
@@ -280,8 +281,9 @@ def _frame_cols_soa(params: SuGaRParams, config: SuGaRConfig):
 
     if config.loose_bind:
         # rotate every column by the per-gaussian delta quaternion (w-first)
-        q = params.delta_r / jnp.maximum(
-            jnp.sqrt((params.delta_r**2).sum(-1, keepdims=True)), 1e-12
+        # max INSIDE the sqrt: grad-safe at delta_r == 0 (utils.general.l2norm)
+        q = params.delta_r / jnp.sqrt(
+            jnp.maximum((params.delta_r**2).sum(-1, keepdims=True), 1e-24)
         )
         r, x, y, z = (q[:, i].reshape(shape) for i in range(4))
         m = (

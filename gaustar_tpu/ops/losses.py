@@ -164,8 +164,11 @@ def _face_area_normal_comps(verts, faces):
     e1 = [v[1][d] - v[0][d] for d in range(3)]
     e2 = [v[2][d] - v[0][d] for d in range(3)]
     n = _cross_comps(e1, e2)
-    nn = jnp.sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
-    inv = 1.0 / jnp.maximum(nn, 1e-12)
+    # Clamp INSIDE the sqrt: sqrt'(0) = inf and the area cotangent is nonzero
+    # (area-iso loss), so an exactly-degenerate face would otherwise NaN every
+    # gradient. See utils.general.l2norm.
+    nn = jnp.sqrt(jnp.maximum(n[0] * n[0] + n[1] * n[1] + n[2] * n[2], 1e-24))
+    inv = 1.0 / nn
     return 0.5 * nn, [n[d] * inv for d in range(3)]
 
 
@@ -207,7 +210,9 @@ def mesh_laplacian_smoothing_loss(verts: jnp.ndarray, edges: jnp.ndarray) -> jnp
     safe_deg = jnp.maximum(deg, 1.0)[:, None]
     lap = nb_sum / safe_deg - verts
     lap = jnp.where((deg > 0)[:, None], lap, 0.0)
-    return l2norm(lap, keepdims=False).mean()
+    # eps: a vertex at its neighbors' centroid has lap == 0 exactly; the
+    # unclamped sqrt VJP would be NaN there (see utils.general.l2norm).
+    return l2norm(lap, keepdims=False, eps=1e-12).mean()
 
 
 def mesh_area_reg_loss(verts, faces) -> jnp.ndarray:

@@ -165,8 +165,9 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.nda
     backward replays; jnp.maximum's VJP reproduces it exactly.
     """
     d = positions - campos
-    inv = 1.0 / jnp.maximum(
-        jnp.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2), 1e-12
+    # max INSIDE the sqrt: grad-safe at d == 0 (see utils.general.l2norm)
+    inv = 1.0 / jnp.sqrt(
+        jnp.maximum(d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2, 1e-24)
     )
     x, y, z = d[:, 0] * inv, d[:, 1] * inv, d[:, 2] * inv
     sh_t = sh.transpose(1, 2, 0)  # [K, C, N]: ONE relayout, then full-lane math

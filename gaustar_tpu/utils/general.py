@@ -93,15 +93,28 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
     return out / l2norm(out)
 
 
-def l2norm(v: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
+def l2norm(
+    v: jnp.ndarray, axis: int = -1, keepdims: bool = True, eps: float = 0.0
+) -> jnp.ndarray:
     """sqrt(sum(v^2)). Use this instead of jnp.linalg.norm in anything jitted:
     linalg.norm's overflow-safe lowering (amax-rescaled) miscompiles under
     whole-graph jit on TPU (observed on jax 0.9.0/v5e: "unit" vectors with norms
     up to 14x off, deterministic, eager fine), which silently corrupted every
     downstream covariance. The naive form compiles correctly and our magnitudes
-    (edge lengths, quaternions, view dirs) never approach f32 overflow."""
-    return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
+    (edge lengths, quaternions, view dirs) never approach f32 overflow.
+
+    `eps` > 0 clamps the squared sum BEFORE the sqrt. This is the only
+    grad-safe placement: sqrt's VJP is evaluated at the clamped (positive)
+    value, so a zero vector yields gradient 0 instead of 0*inf = NaN. Clamping
+    the norm after the sqrt (max(sqrt(x), eps)) still differentiates sqrt at 0
+    and one exactly-degenerate face poisons every parameter with NaN through
+    the mesh losses."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    if eps:
+        sq = jnp.maximum(sq, eps * eps)
+    return jnp.sqrt(sq)
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(l2norm(v, axis=axis), eps)
+    """v / max(|v|, eps), with NaN-safe gradients at v == 0 (see l2norm)."""
+    return v / l2norm(v, axis=axis, eps=eps)

@@ -79,3 +79,32 @@ def test_edge_area_iso():
     assert np.isclose(float(loss), want, rtol=1e-5)
     area_loss = losses.mesh_area_isometry_loss(verts, faces, jnp.asarray([1.0]))
     assert np.isclose(float(area_loss), 1.0, rtol=1e-6)
+
+
+def test_degenerate_face_gradients_finite():
+    """A fully-degenerate face (duplicate vertices -> zero cross product) must
+    NOT produce NaN gradients through ANY mesh loss or the face frames: sqrt's
+    VJP at 0 is inf, and 0*inf = NaN would poison every parameter (the refscale
+    run's segment-2 divergence). All norms clamp INSIDE the sqrt."""
+    import jax
+
+    verts = jnp.asarray([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 0, 0], [1, 0, 0]])
+    faces = jnp.asarray([[0, 1, 2], [1, 3, 4]])  # face 1 is a single point
+    edges = jnp.asarray([[0, 1], [1, 2], [0, 2], [1, 3], [3, 4], [1, 4]])
+    adj = jnp.asarray([[0, 1]])
+
+    def total(v):
+        l = losses.mesh_normal_consistency_loss(v, faces, adj)
+        l += losses.mesh_area_isometry_loss(v, faces, jnp.asarray([0.5, 0.5]))
+        l += losses.mesh_edge_isometry_loss(v, edges, jnp.ones(6))
+        l += losses.mesh_laplacian_smoothing_loss(v, edges)
+        l += losses.mesh_area_reg_loss(v, faces)
+        return l
+
+    g = jax.grad(total)(verts)
+    assert np.isfinite(np.asarray(g)).all(), g
+
+    from gaustar_tpu.utils.general import normalize
+
+    gn = jax.grad(lambda v: normalize(v).sum())(jnp.zeros(3))
+    assert np.isfinite(np.asarray(gn)).all(), gn
