@@ -124,11 +124,22 @@ def main():
     pre = params.sh_dc[:, 0, :] * 0.0
     setup_s = time.time() - t_setup
 
+    # GAUSTAR_BENCH_BATCH=B > 1 measures the multi-camera batched step
+    # (compute_losses_multi): camera-independent work (SuGaR primitives, mesh
+    # losses, Adam) amortizes over B; the metric stays per-rendered-pixel.
+    batch = int(os.environ.get("GAUSTAR_BENCH_BATCH", "1"))
+
     def one_step(params, opt_state, it):
-        cam_idx = jnp.mod(it, 4)
+        if batch == 1:
+            cam_idx = jnp.mod(it, 4)
+        else:
+            cam_idx = jnp.mod(it * batch + jnp.arange(batch), 4).astype(jnp.int32)
 
         def loss_fn(p):
-            return compute_losses(
+            from gaustar_tpu.train.refine import compute_losses_multi
+
+            impl = compute_losses if batch == 1 else compute_losses_multi
+            return impl(
                 p, config, data, cam_idx, it, cfg, raster_cfg, 2, uw, pre
             )
 
@@ -156,7 +167,7 @@ def main():
     t0 = time.time()
     _ = float(run(params, opt_state))
     dt = (time.time() - t0) / K
-    mpix_s = W * H / dt / 1e6
+    mpix_s = W * H * batch / dt / 1e6
 
     result = {
         "metric": "Mpix/s full refine step per chip (600k gaussians, 1.6MP, RGB+depth passes, SSIM+mesh losses, Adam)",

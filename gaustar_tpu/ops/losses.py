@@ -229,9 +229,12 @@ def mesh_normal_consistency_loss(verts, faces, adj_faces: jnp.ndarray) -> jnp.nd
 
     `adj_faces` is a static [E_int, 2] int array of face index pairs adjacent across
     interior edges (precomputed on host from the mesh connectivity). pytorch3d's
-    mesh_normal_consistency uses (1 - cosine) between *vertex-opposite* edge vectors,
-    which equals (1 - cos(normal angle)) up to the same stationary points; we use the
-    face-normal form, which is the standard TPU-friendly formulation.
+    mesh_normal_consistency builds per-edge cross products from the vertex-opposite
+    construction (n0 = (v1-v0)x(a-v0), n1 = (v1-v0)x(b-v0), 1 - cos(n0, -n1)); on a
+    consistently wound manifold mesh that cosine equals the cosine between the two
+    FACE normals, so this face-normal form is numerically identical (not merely
+    same-stationary-point) — verified in tests/test_losses.py
+    test_normal_consistency_matches_pytorch3d_form.
     """
     _, n = _face_area_normal_comps(verts, faces)
     normals = jnp.stack(n, axis=-1)  # [F, 3] — ONE row gather below, then slices

@@ -236,6 +236,50 @@ def compute_losses(
     return loss, loss_dict
 
 
+def compute_losses_multi(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cam_idxs,
+    iteration,
+    cfg: RefineConfig,
+    raster_cfg: RasterConfig,
+    sh_deg: int,
+    unbind_weight=None,
+    pre_sh_dc=None,
+):
+    """Mean of compute_losses over a STATIC batch of cameras (cam_idxs [B]).
+
+    TPU-throughput extension beyond the reference's one-camera iteration
+    (refine.py:552): the batch is unrolled at trace time, so the
+    camera-independent subgraphs (gaussian centers/covariances, mesh + reg
+    losses and their backward) are structurally identical HLO across the B
+    copies and XLA CSE materializes them once — only preprocess/binning/blend
+    scale with B. Equivalent to averaging B single-camera gradients (the
+    camera-DP layout's local analog; parallel/sharding.py does the same mean
+    across devices). Capacity telemetry (num_pairs/num_padded) reports the MAX
+    over the batch so the host auto-retry keys on the worst camera."""
+    b_total = None
+    b_dict: dict = {}
+    n = int(cam_idxs.shape[0])
+    for b in range(n):
+        loss_b, ld_b = compute_losses(
+            params, model_config, data, cam_idxs[b], iteration, cfg, raster_cfg,
+            sh_deg, unbind_weight, pre_sh_dc,
+        )
+        b_total = loss_b if b_total is None else b_total + loss_b
+        for k, v in ld_b.items():
+            if k in ("num_pairs", "num_padded"):
+                b_dict[k] = v if k not in b_dict else jnp.maximum(b_dict[k], v)
+            else:
+                b_dict[k] = v if k not in b_dict else b_dict[k] + v
+    inv = 1.0 / n
+    for k in b_dict:
+        if k not in ("num_pairs", "num_padded"):
+            b_dict[k] = b_dict[k] * inv
+    return b_total * inv, b_dict
+
+
 def make_train_step(
     model_config: sugar.SuGaRConfig,
     data: FrameData,
@@ -245,12 +289,16 @@ def make_train_step(
 ):
     """Returns jitted step(params, opt_state, cam_idx, iteration, sh_deg, ...) ->
     (params, opt_state, loss, loss_dict). Re-traces per sh_deg (max sh_levels
-    variants) — the SH warmup schedule of refine.py:837-839."""
+    variants) — the SH warmup schedule of refine.py:837-839. `cam_idx` may be a
+    scalar (reference semantics) or an [B] int vector (multi-camera batch,
+    see compute_losses_multi)."""
 
     @functools.partial(jax.jit, static_argnames=("sh_deg",), donate_argnums=(0, 1))
     def step(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
+        loss_impl = compute_losses if jnp.ndim(cam_idx) == 0 else compute_losses_multi
+
         def loss_fn(p):
-            return compute_losses(
+            return loss_impl(
                 p,
                 model_config,
                 data,

@@ -177,6 +177,7 @@ def refine_one_frame(
     enable_unbind: bool = True,
     detect_cfg: topo_detect.TopoDetectConfig | None = None,
     config_dump_path: str | None = None,
+    metrics_path: str | None = None,
 ):
     """One refined_training invocation. Returns (params, config, data, topo)."""
     topo, ref_edge_len, ref_area = _mesh_stats(mesh_verts, mesh_faces)
@@ -216,17 +217,32 @@ def refine_one_frame(
                 p, c, data.cameras, np.asarray(data.gt_depths), topo, raster_cfg, dcfg
             )
 
-    params, config, history = refine.refine_frame(
-        params,
-        config,
-        data,
-        cfg,
-        raster_cfg,
-        spatial_lr_scale=seq.spatial_lr_scale,
-        detect_topo_fn=detect_fn,
-        pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
-        config_dump_path=config_dump_path,
-    )
+    # Scalar event stream per frame (TB-equivalent, utils/logging.py): the
+    # reference writes TensorBoard scalars (gaussian_splatting/train.py:170-209);
+    # here a mergeable JSONL file next to the frame's outputs.
+    logger = None
+    log_fn = None
+    if metrics_path is not None:
+        from gaustar_tpu.utils.logging import MetricLogger
+
+        logger = MetricLogger(metrics_path, run_meta={"frame": frame, "iters": iters})
+        log_fn = logger.as_log_fn()
+    try:
+        params, config, history = refine.refine_frame(
+            params,
+            config,
+            data,
+            cfg,
+            raster_cfg,
+            spatial_lr_scale=seq.spatial_lr_scale,
+            detect_topo_fn=detect_fn,
+            pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
+            config_dump_path=config_dump_path,
+            log_fn=log_fn,
+        )
+    finally:
+        if logger is not None:
+            logger.close()
     return params, config, data, topo, history
 
 
@@ -264,6 +280,7 @@ def run_sequence(
             seq, f_idx, verts, faces, colors, cams, gt_images, gt_depths,
             raster_cfg, is_first, pre_sh=pre_sh, detect_cfg=detect_cfg,
             config_dump_path=os.path.join(fdir, "config.json"),
+            metrics_path=os.path.join(fdir, "metrics.jsonl"),
         )
 
         # --- mesh update if unbound (train_seq.py:150-213) ---

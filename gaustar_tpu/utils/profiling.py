@@ -39,6 +39,39 @@ def loop_bench(fn, *args, iters: int = 8, warmup: bool = True) -> float:
     return (time.time() - t0) / iters
 
 
+class xla_trace:
+    """Capture an XLA profiler trace around a code block.
+
+    Wraps jax.profiler.start_trace/stop_trace: the trace directory receives
+    xplane protos viewable in TensorBoard's profile plugin or Perfetto — the
+    per-op/per-fusion view behind ROOFLINE.md's stage budget. Usable on CPU and
+    TPU backends; no-ops (with a note in `error`) where the backend cannot
+    export traces (e.g. some tunnel transports).
+
+        with xla_trace("/tmp/gaustar_trace"):
+            run(params, opt_state)  # must FETCH a result to capture device work
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.error: str | None = None
+
+    def __enter__(self):
+        try:
+            jax.profiler.start_trace(self.log_dir)
+        except Exception as e:  # backend without trace support
+            self.error = str(e)
+        return self
+
+    def __exit__(self, *exc):
+        if self.error is None:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:
+                self.error = str(e)
+        return False
+
+
 def debug_validate(params, grads=None, aux=None, max_pairs=None, name=""):
     """Host-side sanity checks (call sparsely — each check syncs the device).
     Raises with a descriptive message on non-finite params/grads or rasterizer
