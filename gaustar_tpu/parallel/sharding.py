@@ -27,7 +27,12 @@ from jax import shard_map
 
 from gaustar_tpu.models import sugar
 from gaustar_tpu.ops.rasterizer import RasterConfig
-from gaustar_tpu.train.refine import FrameData, RefineConfig, compute_losses
+from gaustar_tpu.train.refine import (
+    FrameData,
+    RefineConfig,
+    compute_losses,
+    compute_losses_multi,
+)
 
 
 def make_camera_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -67,7 +72,7 @@ def make_sharded_train_step(
     mesh: Mesh,
 ):
     """Jitted multi-device step: each device renders its local camera shard
-    (B = C / n_devices cameras, batched sequentially via lax.scan on-device),
+    (B = C / n_devices cameras, statically unrolled with CSE amortization),
     gradients pmean'd over the mesh.
 
     step(params, opt_state, local_cam_idx [D, B], iteration, sh_deg, ...) where
@@ -76,15 +81,14 @@ def make_sharded_train_step(
     data_specs = _frame_data_specs(data)
 
     def local_loss(params, local_data, cam_idx_vec, iteration, sh_deg, unbind_weight, pre_sh_dc):
-        def one(carry, ci):
-            loss, _ = compute_losses(
-                params, model_config, local_data, ci, iteration, cfg, raster_cfg, sh_deg,
-                unbind_weight, pre_sh_dc,
-            )
-            return carry + loss, None
-
-        total, _ = jax.lax.scan(one, jnp.float32(0.0), cam_idx_vec)
-        return total / cam_idx_vec.shape[0]
+        # Unrolled static-B batch (compute_losses_multi): unlike a lax.scan,
+        # the camera-independent subgraphs (SuGaR primitives, mesh losses)
+        # CSE into ONE copy per device instead of recomputing per camera.
+        loss, _ = compute_losses_multi(
+            params, model_config, local_data, cam_idx_vec, iteration, cfg,
+            raster_cfg, sh_deg, unbind_weight, pre_sh_dc,
+        )
+        return loss
 
     def make_step(sh_deg: int):
         @functools.partial(
