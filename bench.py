@@ -169,11 +169,18 @@ def main():
     dt = (time.time() - t0) / K
     mpix_s = W * H * batch / dt / 1e6
 
+    metric = (
+        "Mpix/s full refine step per chip "
+        "(600k gaussians, 1.6MP, RGB+depth passes, SSIM+mesh losses, Adam)"
+    )
+    if batch != 1:
+        metric += f" [camera batch B={batch}]"
     result = {
-        "metric": "Mpix/s full refine step per chip (600k gaussians, 1.6MP, RGB+depth passes, SSIM+mesh losses, Adam)",
+        "metric": metric,
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_MPIX_S, 3),
+        "batch": batch,
     }
     print(json.dumps(result))
     print(

@@ -64,12 +64,12 @@ def main():
         uw = jnp.zeros((params.scales.shape[0],), jnp.float32)
         pre = params.sh_dc[:, 0, :] * 0.0
         # compile + warmup
-        p, s, loss = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
+        p, s, loss, _caps = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
         _ = float(loss)
         t0 = time.time()
         reps = 5
         for i in range(reps):
-            p, s, loss = step(p, s, cam_idx, jnp.int32(2 + i), uw, pre)
+            p, s, loss, _caps = step(p, s, cam_idx, jnp.int32(2 + i), uw, pre)
         _ = float(loss)
         dt = (time.time() - t0) / reps
         results[n] = dt

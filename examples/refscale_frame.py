@@ -1,21 +1,31 @@
-"""One REFERENCE-SCALE frame on the real chip (VERDICT r1, item 10).
+"""One REFERENCE-SCALE frame on the real chip, END TO END (VERDICT r2 items 1-2).
 
 Reference config-2 scale (train_seq.py:45-46, README.md:270, cameras.py:20):
 100k-face mesh -> 600k mesh-bound gaussians, 40 cameras at 1.6 MP, the full
 2000-iteration refine loop (RGB+depth passes, SSIM + mesh losses, SH warmup,
-Adam with the exp position schedule) plus the one-time topology detection at
-iters/2 (refine.py:720-737) over all 40 cameras. Records wall time, the
-per-iteration step time, detection time, and HBM stats to REFSCALE.json.
+Adam with the exp position schedule), topology detection at iters/2
+(refine.py:720-737) over all 40 cameras, then the FULL mesh-update cycle the
+sequence driver runs when a change is detected (train_seq.py:150-213):
+extract_mesh_fusion (72 orbit + 40 rig renders into the TSDF,
+refined_mesh.py:311-459), update_mesh_topo over 5 aabb pads
+(refined_mesh.py:1034-1052), and the half-budget re-refine on the updated mesh.
+Per-stage walls go to REFSCALE.json.
 
-Iterations run in 4 on-device segments (one lax.fori_loop per SH-warmup
-degree) because per-iteration host dispatch over the axon tunnel would pay a
-~40 ms RPC floor each step and distort the wall time; host work happens only
-where the reference also leaves the device (detection).
+Compile accounting (round-2 segment-variance root cause): the r2 harness jitted
+one program per SH-warmup degree and timed compile INSIDE the segment walls —
+segments at the same sh_deg measured 498 vs 188 ms/iter purely because three of
+four segments paid ~160 s of XLA compile over the axon tunnel. This version
+(a) uses the TRACED SH warmup (ops/sh.py eval_sh_soa_banded: identical values
+and gradients), so the whole frame is ONE program, and (b) AOT-compiles it
+(jit.lower().compile()) with the compile wall reported separately. Segment
+ms/iter is now pure step time and must be flat.
 
-Run: timeout 3000 python examples/refscale_frame.py
+The GT carries a deliberate geometry change (a 20 cm "dent" disc in the depth
+maps) so detection flags a region and the update cycle does real surgery.
+
+Run: timeout 5400 python examples/refscale_frame.py
 """
 
-import dataclasses
 import json
 import sys
 import time
@@ -31,131 +41,233 @@ from jax import lax
 from bench import H, W, build_scene
 from gaustar_tpu.mesh.topology import build_topology
 from gaustar_tpu.models import sugar
+from gaustar_tpu.ops import sh as sh_ops
+from gaustar_tpu.ops.losses import edge_lengths, face_areas_normals
+from gaustar_tpu.train import mesh_update
 from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
-from gaustar_tpu.train.refine import RefineConfig, compute_losses
+from gaustar_tpu.train.refine import FrameData, RefineConfig, compute_losses, compute_margins
 from gaustar_tpu.train.topo_detect import TopoDetectConfig, detect_topo_err
 
 ITERS = 2000
 N_CAMS = 40
+INNER = 50  # iterations per device call (tunnel watchdog bound, see r2 notes)
+
+
+def widen_rig(data):
+    """Widen the bench's 4-camera rig to the reference's 40 and stamp a 20 cm
+    dent disc into GT depth/colors so the detector has a real change to flag."""
+    from gaustar_tpu.cameras import stack_cameras
+    from gaustar_tpu.utils.synthetic import ring_cameras
+
+    cams = stack_cameras(ring_cameras(N_CAMS, w=W, h=H, focal=1600.0))
+    gt_img = np.asarray(data.gt_images[0])
+    gt_depth = np.asarray(data.gt_depths[0])
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    dent = ((xx - W * 0.42) ** 2 + (yy - H * 0.5) ** 2) < 60.0**2
+    gt_depth = np.where(dent, np.float32(3.6), gt_depth)
+    gt_img = np.where(dent[..., None], np.float32(0.15), gt_img)
+    rep = lambda a: jnp.broadcast_to(jnp.asarray(a)[None], (N_CAMS,) + a.shape)
+    return data._replace(
+        cameras=cams,
+        gt_images=rep(gt_img),
+        gt_depths=rep(gt_depth),
+        margins=jnp.broadcast_to(data.margins[:1], (N_CAMS, 4)),
+    )
+
+
+def make_runner(config, raster_cfg, cfg, optimizer, n_g, iters_total):
+    """One jitted INNER-iteration fori runner for the WHOLE frame: SH warmup is
+    traced (banded eval), so there is exactly one XLA program."""
+    uw = jnp.zeros((n_g,), jnp.float32)
+
+    @jax.jit
+    def run(params, opt_state, data, it0, cam_idxs, pre):
+        def body(k, carry):
+            p, o, acc = carry
+            it = it0 + k
+            every = max(iters_total // 4, 1)
+            cur_deg = jnp.minimum(it // every + 1, 3) - 1
+            band_w = sh_ops.warmup_degree_weights(cur_deg, 3)
+
+            def loss_fn(pp):
+                return compute_losses(
+                    pp, config, data, cam_idxs[k], it, cfg, raster_cfg,
+                    2, uw, pre, band_w,
+                )
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            import optax
+
+            updates, o = optimizer.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, acc + loss)
+
+        return lax.fori_loop(0, INNER, body, (params, opt_state, jnp.float32(0.0)))
+
+    return run
+
+
+def train_frame(params, config, data, raster_cfg, cfg, iters, rng, report_key, report):
+    """AOT-compile the runner (compile wall reported separately), then run
+    `iters` iterations in INNER-sized device calls, timing 4 segments."""
+    n_g = params.scales.shape[0]
+    n_faces = config.faces.shape[0]
+    pts = np.asarray(params.points)
+    radius = float(np.linalg.norm(pts.max(0) - pts.min(0)) / 2.0)
+    spatial_lr_scale = 10.0 * radius / np.sqrt(n_faces)
+    optimizer = make_sugar_optimizer(OptimizationParams(iterations=iters), spatial_lr_scale)
+    opt_state = optimizer.init(params)
+    pre = params.sh_dc[:, 0, :] * 0.0
+
+    run = make_runner(config, raster_cfg, cfg, optimizer, n_g, iters)
+    cam_idxs0 = jnp.asarray(rng.integers(0, N_CAMS, size=INNER), jnp.int32)
+
+    t0 = time.time()
+    compiled = run.lower(
+        params, opt_state, data, jnp.int32(1), cam_idxs0, pre
+    ).compile()
+    compile_s = time.time() - t0
+    print(f"[{report_key}] compile: {compile_s:.1f}s (one program, traced SH warmup)",
+          flush=True)
+
+    seg_len = max(iters // 4, 1)
+    segments = []
+    total = 0.0
+    for q in range(4):
+        it0 = q * seg_len + 1
+        t0 = time.time()
+        acc, first_nan = 0.0, None
+        for s0 in range(0, seg_len, INNER):
+            cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=INNER), jnp.int32)
+            params, opt_state, a = compiled(
+                params, opt_state, data, jnp.int32(it0 + s0), cam_idxs, pre
+            )
+            a = float(a)  # host fetch = sync
+            if first_nan is None and not np.isfinite(a):
+                first_nan = it0 + s0
+                print(f"  NaN/inf loss first seen in chunk starting it {first_nan}", flush=True)
+            acc += a
+        dt = time.time() - t0
+        total += dt
+        segments.append(
+            {"iters": seg_len, "wall_s": round(dt, 2),
+             "ms_per_iter": round(dt / seg_len * 1e3, 2), "loss_sum": acc,
+             "first_nonfinite_chunk_it": first_nan}
+        )
+        print(f"[{report_key}] segment {q}: {seg_len} iters, {dt:.1f}s "
+              f"({dt/seg_len*1e3:.1f} ms/iter), loss_sum {acc:.3f}", flush=True)
+
+    ms = [s["ms_per_iter"] for s in segments]
+    report[report_key] = {
+        "compile_s": round(compile_s, 1),
+        "segments": segments,
+        "train_wall_s": round(total, 1),
+        "ms_per_iter_mean": round(float(np.mean(ms)), 2),
+        "ms_per_iter_spread_pct": round(
+            100.0 * (max(ms) - min(ms)) / max(np.mean(ms), 1e-9), 1
+        ),
+    }
+    return params, opt_state
 
 
 def main():
     t_start = time.time()
     params, config, data, raster_cfg = build_scene()
+    data = widen_rig(data)
+    report = {
+        "n_gaussians": int(params.scales.shape[0]),
+        "n_faces": int(config.faces.shape[0]),
+        "n_cams": N_CAMS, "resolution": [W, H], "iterations": ITERS,
+    }
+    cfg = RefineConfig(num_iterations=ITERS, loose_bind_from=ITERS // 2, do_sh_warmup=True)
+    rng = np.random.default_rng(0)
+    report["setup_s"] = round(time.time() - t_start, 1)
 
-    # Widen the bench's 4-camera rig to the reference's 40 (GT content is
-    # synthetic; cost depends only on resolution/counts).
-    from gaustar_tpu.cameras import stack_cameras
-    from gaustar_tpu.utils.synthetic import ring_cameras
-
-    cams = stack_cameras(ring_cameras(N_CAMS, w=W, h=H, focal=1600.0))
-    rep = lambda a: jnp.broadcast_to(a[:1], (N_CAMS,) + a.shape[1:])
-    data = data._replace(
-        cameras=cams,
-        gt_images=rep(data.gt_images),
-        gt_depths=rep(data.gt_depths),
-        margins=jnp.broadcast_to(data.margins[:1], (N_CAMS, 4)),
+    t_frame = time.time()
+    params, _ = train_frame(
+        params, config, data, raster_cfg, cfg, ITERS, rng, "refine", report
     )
 
-    cfg = RefineConfig(num_iterations=ITERS, loose_bind_from=ITERS // 2, do_sh_warmup=True)
-    n_faces = config.faces.shape[0]
-    pts = np.asarray(params.points)
-    radius = float(np.linalg.norm(pts.max(0) - pts.min(0)) / 2.0)
-    spatial_lr_scale = 10.0 * radius / np.sqrt(n_faces)
-    optimizer = make_sugar_optimizer(OptimizationParams(iterations=ITERS), spatial_lr_scale)
-    opt_state = optimizer.init(params)
+    # --- detection over all 40 cams (the sequence driver runs this mid-refine
+    # AND again before the update; we time the post-training pass) ---
+    topo = build_topology(np.asarray(config.faces), params.points.shape[0])
+    t0 = time.time()
+    face_w = detect_topo_err(
+        params, config, data.cameras, np.asarray(data.gt_depths), topo,
+        raster_cfg, TopoDetectConfig(),
+    )
+    detect_s = time.time() - t0
+    n_flagged = int((face_w >= 0.6).sum())
+    report["detect_topo_s"] = round(detect_s, 1)
+    report["detect_flagged_faces"] = n_flagged
+    print(f"detection over {N_CAMS} cams: {detect_s:.1f}s, flagged faces {n_flagged}",
+          flush=True)
 
-    n_g = params.scales.shape[0]
-    uw = jnp.zeros((n_g,), jnp.float32)
-    pre = params.sh_dc[:, 0, :] * 0.0
-
-    def make_segment(sh_deg):
-        # `data` rides as a jit ARGUMENT: closing over 40 cameras of GT (~1 GB)
-        # embeds it in the compile payload and overflows the remote compiler's
-        # request limit (HTTP 413 over the axon tunnel).
-        @jax.jit
-        def run(params, opt_state, data, it0, n_steps, cam_idxs):
-            def body(k, carry):
-                p, o, acc = carry
-                it = it0 + k
-
-                def loss_fn(pp):
-                    return compute_losses(
-                        pp, config, data, cam_idxs[k], it, cfg, raster_cfg,
-                        sh_deg, uw, pre,
-                    )
-
-                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
-                import optax
-
-                updates, o = optimizer.update(grads, o, p)
-                p = optax.apply_updates(p, updates)
-                return (p, o, acc + loss)
-
-            return lax.fori_loop(0, n_steps, body, (params, opt_state, jnp.float32(0.0)))
-
-        return run
-
-    rng = np.random.default_rng(0)
-    seg_len = ITERS // 4
-    seg_cache = {}
-
-    def segment(sh_deg):
-        if sh_deg not in seg_cache:
-            seg_cache[sh_deg] = make_segment(sh_deg)
-        return seg_cache[sh_deg]
-    report = {"n_gaussians": int(n_g), "n_faces": int(n_faces), "n_cams": N_CAMS,
-              "resolution": [W, H], "iterations": ITERS, "segments": []}
-
-    setup_s = time.time() - t_start
-    detect_s = None
-    total_step_s = 0.0
-    t_frame = time.time()
-    for q in range(4):
-        sh_deg = min(q + 1, 3) - 1  # sh_deg_at: +1 level per iters/4
-        it0 = q * seg_len + 1
-
-        # Sub-chunks of <= 50 iters per device call: one 500-iter execution is
-        # ~90 s on-device, which trips the tunnel's worker watchdog (observed
-        # "TPU worker process crashed"); 50-iter calls amortize dispatch fine.
+    # --- mesh-update cycle (train_seq.py:150-213) ---
+    update_ok = False
+    try:
         t0 = time.time()
-        acc = 0.0
-        inner = 50
-        run = segment(sh_deg)
-        first_nan = None
-        for s0 in range(0, seg_len, inner):
-            cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=inner), jnp.int32)
-            params, opt_state, a = run(
-                params, opt_state, data, jnp.int32(it0 + s0), inner, cam_idxs
-            )
-            a = float(a)  # host fetch = sync (axon: block_until_ready no-op)
-            if first_nan is None and not np.isfinite(a):
-                first_nan = it0 + s0
-                print(f"  NaN/inf loss first seen in chunk starting it {first_nan}",
-                      flush=True)
-            acc += a
-        dt = time.time() - t0
-        total_step_s += dt
-        report["segments"].append(
-            {"sh_deg": sh_deg, "iters": seg_len, "wall_s": round(dt, 2),
-             "ms_per_iter": round(dt / seg_len * 1e3, 2), "loss_sum": acc,
-             "first_nonfinite_chunk_it": first_nan}
+        fusion = mesh_update.extract_mesh_fusion(
+            params, config, data.cameras, raster_cfg,
+            voxel_size=0.008, sdf_trunc=0.02, max_dim=512,
         )
-        print(f"segment {q}: sh_deg {sh_deg}, {seg_len} iters, {dt:.1f}s "
-              f"({dt/seg_len*1e3:.1f} ms/iter), loss_sum {acc:.3f}", flush=True)
+        fusion_s = time.time() - t0
+        report["fusion_s"] = round(fusion_s, 1)
+        report["fusion_faces"] = int(len(fusion.faces))
+        print(f"extract_mesh_fusion (72 orbit + {N_CAMS} rig views): {fusion_s:.1f}s, "
+              f"{len(fusion.faces)} fused faces", flush=True)
 
-        if q == 1:  # detection at iters/2, like the sequence driver
-            topo = build_topology(np.asarray(config.faces), params.points.shape[0])
-            t0 = time.time()
-            fw = detect_topo_err(
-                params, config, data.cameras, np.asarray(data.gt_depths), topo,
-                raster_cfg, TopoDetectConfig(),
-            )
-            detect_s = time.time() - t0
-            print(f"detection over {N_CAMS} cams: {detect_s:.1f}s, "
-                  f"flagged faces {(fw >= 0.6).sum()}", flush=True)
+        t0 = time.time()
+        out = mesh_update.update_mesh_with_fusion(
+            params, config, fusion, face_w, force_watertight=False,
+        )
+        update_s = time.time() - t0
+        report["update_s"] = round(update_s, 1)
+        report["cc_update_num"] = int(out.get("cc_update_num", 0))
+        print(f"update_mesh_topo x5 pads: {update_s:.1f}s, "
+              f"cc_update_num {out.get('cc_update_num', 0)}", flush=True)
+        update_ok = out.get("cc_update_num", 0) > 0
+    except Exception as e:  # noqa: BLE001 — record partial results either way
+        report["update_error"] = repr(e)
+        print(f"mesh update failed: {e!r}", flush=True)
+
+    if update_ok:
+        um = out["updated_mesh"]
+        report["updated_faces"] = int(len(um.faces))
+        # Re-refine on the updated mesh: half budget, unbind off, edge-iso off
+        # (train_seq.py:187-213). New face count -> new program (compile timed).
+        from gaustar_tpu.train.sequence import _face_colors_to_vertex
+
+        vc = _face_colors_to_vertex(um)
+        verts2 = um.verts.astype(np.float32)
+        faces2 = um.faces.astype(np.int32)
+        topo2 = build_topology(faces2, len(verts2))
+        el2 = np.asarray(edge_lengths(jnp.asarray(verts2), jnp.asarray(topo2.edges)))
+        area2 = np.asarray(out["new_ref_area"], np.float32)
+        params2, config2 = sugar.init_sugar(
+            verts2, faces2, vertex_colors=vc,
+            min_scale=float(el2.mean()) * 0.1, max_scale=float(el2.mean()) * 5.0,
+        )
+        margins = compute_margins(
+            np.asarray(data.cameras.cx), np.asarray(data.cameras.cy), W, H
+        )
+        data2 = FrameData(
+            cameras=data.cameras, gt_images=data.gt_images, gt_depths=data.gt_depths,
+            margins=jnp.asarray(margins), ref_edge_len=jnp.asarray(el2),
+            ref_area=jnp.asarray(area2), edges=jnp.asarray(topo2.edges),
+            adj_faces=jnp.asarray(topo2.adj_faces),
+        )
+        cfg2 = RefineConfig(
+            num_iterations=ITERS // 2, edge_iso_from=999_999,
+            loose_bind_from=10**9, do_sh_warmup=True,
+        )
+        params2, _ = train_frame(
+            params2, config2, data2, raster_cfg, cfg2, ITERS // 2, rng,
+            "re_refine", report,
+        )
 
     frame_s = time.time() - t_frame
+    report["frame_wall_s"] = round(frame_s, 1)
 
     mem = {}
     try:
@@ -165,24 +277,17 @@ def main():
         }
     except Exception as e:  # axon may not expose memory stats
         mem = {"unavailable": str(e)}
+    report["hbm"] = mem
+    report["backend"] = jax.default_backend()
 
-    # steady-state = last segment (full SH degree, warmed caches)
-    steady = report["segments"][-1]["ms_per_iter"]
-    report.update(
-        {
-            "setup_s": round(setup_s, 1),
-            "frame_wall_s": round(frame_s, 1),
-            "train_wall_s": round(total_step_s, 1),
-            "detect_topo_s": round(detect_s, 1) if detect_s else None,
-            "steady_ms_per_iter": steady,
-            "steady_mpix_s": round(W * H / (steady / 1e3) / 1e6, 2),
-            "hbm": mem,
-            "backend": jax.default_backend(),
-        }
-    )
+    steady = report["refine"]["segments"][-1]["ms_per_iter"]
+    report["steady_ms_per_iter"] = steady
+    report["steady_mpix_s"] = round(W * H / (steady / 1e3) / 1e6, 2)
+
     with open("REFSCALE.json", "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps({k: v for k, v in report.items() if k != "segments"}))
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("refine", "re_refine", "hbm")}))
 
 
 if __name__ == "__main__":

@@ -356,9 +356,20 @@ def sh_coordinates(params: SuGaRParams) -> jnp.ndarray:
     return jnp.concatenate([params.sh_dc, params.sh_rest], axis=1)
 
 
-def points_rgb(params: SuGaRParams, positions, camera_center, sh_deg: int) -> jnp.ndarray:
+def points_rgb(
+    params: SuGaRParams, positions, camera_center, sh_deg: int, sh_band_w=None
+) -> jnp.ndarray:
     """Python-side SH color eval — get_points_rgb (sugar_model.py:674-718):
-    clamp_min(eval_sh + 0.5, 0)."""
+    clamp_min(eval_sh + 0.5, 0).
+
+    `sh_band_w` ([levels] traced per-degree weights) replaces the STATIC
+    `sh_deg` truncation with a weighted full-basis eval — identical values and
+    gradients, but the SH warmup becomes a traced input so the whole warmup
+    schedule shares one compiled program (ops/sh.py eval_sh_soa_banded)."""
+    if sh_band_w is not None:
+        return sh_ops.sh_to_rgb_banded(
+            sh_coordinates(params), positions, camera_center, sh_band_w
+        )
     shc = sh_coordinates(params)[:, : (sh_deg + 1) ** 2]
     return sh_ops.sh_to_rgb(sh_deg, shc, positions, camera_center)
 
@@ -387,6 +398,7 @@ def render(
     point_colors: jnp.ndarray | None = None,
     use_solid_surface: bool = False,
     means2d_dummy: jnp.ndarray | None = None,
+    sh_band_w=None,
 ):
     """Render an image — render_image_gaussian_rasterizer (sugar_model.py:1065-1311),
     default path: compute_color_in_rasterizer=False (SH evaluated here),
@@ -394,12 +406,13 @@ def render(
 
     `point_colors` overrides the per-gaussian features (depth-as-color trick,
     refine.py:599-632). `use_solid_surface` raises small in-plane scales to their
-    mean so the surface renders opaque (sugar_model.py:1230-1232)."""
+    mean so the surface renders opaque (sugar_model.py:1230-1232).
+    `sh_band_w` enables the traced SH warmup (see points_rgb)."""
     if sh_deg is None:
         sh_deg = config.sh_levels - 1
     positions = gaussian_centers(params, config)
     if point_colors is None:
-        colors = points_rgb(params, positions, camera.camera_center, sh_deg)
+        colors = points_rgb(params, positions, camera.camera_center, sh_deg, sh_band_w)
     else:
         colors = point_colors
 
@@ -425,6 +438,7 @@ def render_rgbd(
     sh_deg: int | None = None,
     max_depth: float = 10.0,
     raster_config: RasterConfig = RasterConfig(),
+    sh_band_w=None,
 ):
     """Fused RGB + depth render in ONE rasterizer pass (4 blend channels).
 
@@ -438,7 +452,7 @@ def render_rgbd(
     if sh_deg is None:
         sh_deg = config.sh_levels - 1
     positions = gaussian_centers(params, config)
-    rgb = points_rgb(params, positions, camera.camera_center, sh_deg)
+    rgb = points_rgb(params, positions, camera.camera_center, sh_deg, sh_band_w)
     view = camera.view
     z = positions @ view[2, :3] + view[2, 3]
     colors4 = jnp.concatenate([rgb, z[:, None]], axis=-1)

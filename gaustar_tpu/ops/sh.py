@@ -13,6 +13,7 @@ matching the reference's `sh_coordinates` (dc first, then rest).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from gaustar_tpu.utils.general import l2norm
 
@@ -156,6 +157,45 @@ def eval_sh_soa(deg: int, sh_t: jnp.ndarray, x, y, z) -> jnp.ndarray:
         for ch in range(c):
             out[ch] = out[ch] + b * sh_t[band, ch]
     return jnp.stack(out, axis=-1)
+
+
+def eval_sh_soa_banded(sh_t: jnp.ndarray, x, y, z, deg_w: jnp.ndarray) -> jnp.ndarray:
+    """eval_sh_soa over the FULL basis in sh_t with per-DEGREE weights deg_w
+    [L] (traced). deg_w[d] = 0 reproduces static truncation at degree d-1
+    exactly — same values AND same (zero) gradients to the masked bands — so
+    the SH warmup schedule becomes a traced input instead of a re-jit per
+    degree (refine.py:837-839 semantics, one XLA program for the whole frame)."""
+    k = sh_t.shape[0]
+    deg = int(np.sqrt(k)) - 1
+    assert (deg + 1) ** 2 == k, f"banded eval needs a full basis, got K={k}"
+    c = sh_t.shape[1]
+    terms = _basis_terms(deg, x, y, z)
+    w0 = deg_w[0]
+    out = [w0 * C0 * sh_t[0, ch] for ch in range(c)]
+    for band in range(1, k):
+        d = int(np.sqrt(band))  # degree of this band
+        b = terms[band] * deg_w[d]
+        for ch in range(c):
+            out[ch] = out[ch] + b * sh_t[band, ch]
+    return jnp.stack(out, axis=-1)
+
+
+def sh_to_rgb_banded(
+    sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray, deg_w: jnp.ndarray
+) -> jnp.ndarray:
+    """sh_to_rgb with traced per-degree weights (see eval_sh_soa_banded)."""
+    d = positions - campos
+    inv = 1.0 / jnp.sqrt(
+        jnp.maximum(d[:, 0] ** 2 + d[:, 1] ** 2 + d[:, 2] ** 2, 1e-24)
+    )
+    x, y, z = d[:, 0] * inv, d[:, 1] * inv, d[:, 2] * inv
+    sh_t = sh.transpose(1, 2, 0)  # [K, C, N]
+    return jnp.maximum(eval_sh_soa_banded(sh_t, x, y, z, deg_w) + 0.5, 0.0)
+
+
+def warmup_degree_weights(current_deg, levels: int) -> jnp.ndarray:
+    """[levels] 0/1 degree weights for a (possibly traced) current degree."""
+    return (jnp.arange(levels) <= current_deg).astype(jnp.float32)
 
 
 def sh_to_rgb(deg: int, sh: jnp.ndarray, positions: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:

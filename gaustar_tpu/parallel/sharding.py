@@ -84,39 +84,47 @@ def make_sharded_train_step(
         # Unrolled static-B batch (compute_losses_multi): unlike a lax.scan,
         # the camera-independent subgraphs (SuGaR primitives, mesh losses)
         # CSE into ONE copy per device instead of recomputing per camera.
-        loss, _ = compute_losses_multi(
+        loss, loss_dict = compute_losses_multi(
             params, model_config, local_data, cam_idx_vec, iteration, cfg,
             raster_cfg, sh_deg, unbind_weight, pre_sh_dc,
         )
-        return loss
+        # Capacity telemetry rides out as aux so the host driver can apply the
+        # same overflow auto-retry as refine_frame (pair-buffer truncation on
+        # ANY device would otherwise go undetected in the sharded path).
+        caps = (loss_dict["num_pairs"], loss_dict["num_padded"])
+        return loss, caps
 
     def make_step(sh_deg: int):
         @functools.partial(
             shard_map,
             mesh=mesh,
             in_specs=(P(), data_specs, P("cam"), P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             # The Pallas blend's pallas_call cannot declare varying-axes (vma)
             # metadata on its outputs, so the vma type check is off; collective
             # placement (pmean of loss+grads) is explicit below.
             check_vma=False,
         )
         def grad_shard(params, local_data, cam_idx, iteration, unbind_weight, pre_sh_dc):
-            loss, grads = jax.value_and_grad(local_loss)(
+            (loss, caps), grads = jax.value_and_grad(local_loss, has_aux=True)(
                 params, local_data, cam_idx[0], iteration, sh_deg, unbind_weight, pre_sh_dc
             )
             grads = jax.lax.pmean(grads, "cam")
             loss = jax.lax.pmean(loss, "cam")
-            return loss, grads
+            # Worst camera over the WHOLE mesh: overflow anywhere must trigger
+            # the host retry.
+            caps = jax.lax.pmax(caps, "cam")
+            return loss, grads, caps
 
         @jax.jit
         def step(params, opt_state, cam_idx, iteration, unbind_weight, pre_sh_dc):
-            loss, grads = grad_shard(
+            loss, grads, caps = grad_shard(
                 params, data, cam_idx, iteration, unbind_weight, pre_sh_dc
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            caps_dict = {"num_pairs": caps[0], "num_padded": caps[1]}
+            return params, opt_state, loss, caps_dict
 
         return step
 

@@ -12,15 +12,55 @@ keep the attempt with the smallest boundary connection distance.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gaustar_tpu.cameras import Camera, index_camera, orbit_cameras
 from gaustar_tpu.mesh import surgery, tsdf
 from gaustar_tpu.models import sugar
+from gaustar_tpu.ops import image as image_ops
 from gaustar_tpu.ops.rasterizer import RasterConfig
 from gaustar_tpu.ops.sh import sh_to_rgb_dc
-from gaustar_tpu.tools import geometry as geo
+
+
+def _fusion_rgbd_device(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    camera: Camera,
+    raster_cfg: RasterConfig,
+    sh_deg: int,
+    remove_depth_edge: bool = True,
+):
+    """(rgb [H,W,3], depth [H,W]) on DEVICE with background/edge pixels zeroed
+    (refined_mesh.py:350-437): depth = blend(z)/alpha, alpha < 0.5 -> 0.
+
+    One fused 4-channel pass (r, g, b, z over bg (0,1,0,0)): the reference
+    renders twice (RGB, then depth+alpha); both blends use identical per-pair
+    weights, and alpha = 1 - final_T is already in the aux output, so one pass
+    is exact and halves preprocess/binning/blend work."""
+    positions = sugar.gaussian_centers(params, config)
+    rgb_pts = sugar.points_rgb(params, positions, camera.camera_center, sh_deg)
+    view = camera.view
+    z = positions @ view[2, :3] + view[2, 3]
+    colors4 = jnp.concatenate([rgb_pts, z[:, None]], axis=-1)
+    cfg4 = dataclasses.replace(raster_cfg, channels=4)
+    img4, aux = sugar.render(
+        params, config, camera, bg=(0.0, 1.0, 0.0, 0.0), raster_config=cfg4,
+        point_colors=colors4,
+    )
+    rgb = jnp.clip(img4[..., :3], 0.0, 1.0)
+    alpha = 1.0 - aux.final_T
+    depth = img4[..., 3] / (alpha + 1e-8)
+    depth = jnp.where(alpha < 0.5, 0.0, depth)
+    if remove_depth_edge:
+        edge = image_ops.depth_edge(depth, 3)
+        edge_vis = jnp.minimum(edge / jnp.maximum(jnp.max(edge), 1e-12) * 1000.0, 1.0)
+        depth = jnp.where(edge_vis > 0.5, 0.0, depth)
+    return rgb, depth
 
 
 def render_rgbd_for_fusion(
@@ -31,29 +71,43 @@ def render_rgbd_for_fusion(
     sh_deg: int,
     remove_depth_edge: bool = True,
 ):
-    """(rgb [H,W,3], depth [H,W]) with background/edge pixels zeroed
-    (refined_mesh.py:350-437): depth = blend(z)/alpha, alpha<0.5 -> 0."""
-    img, _aux = sugar.render(
-        params, config, camera, bg=(0.0, 1.0, 0.0), sh_deg=sh_deg, raster_config=raster_cfg
+    """Host-convenience wrapper: numpy (rgb, depth) of _fusion_rgbd_device."""
+    rgb, depth = _fusion_rgbd_device(
+        params, config, camera, raster_cfg, sh_deg, remove_depth_edge
     )
-    rgb = np.asarray(jnp.clip(img, 0.0, 1.0))
+    return np.asarray(rgb), np.asarray(depth)
 
-    positions = sugar.gaussian_centers(params, config)
-    view = camera.view
-    z = positions @ view[2, :3] + view[2, 3]
-    # channels: (z, z, 1) with black bg -> ch0 = blended depth, ch2 = alpha.
-    pc = jnp.stack([z, z, jnp.ones_like(z)], axis=-1)
-    da, _ = sugar.render(
-        params, config, camera, bg=(0.0, 0.0, 0.0), raster_config=raster_cfg, point_colors=pc
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("raster_cfg", "sh_deg", "remove_depth_edge"),
+    donate_argnums=(0,),
+)
+def _fusion_integrate_cam(
+    vol: tsdf.TSDFVolume,
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    cam: Camera,
+    depth_trunc,
+    raster_cfg: RasterConfig,
+    sh_deg: int,
+    remove_depth_edge: bool = True,
+) -> tsdf.TSDFVolume:
+    """Render one fusion view and integrate it into the TSDF volume — ONE
+    device dispatch per camera, nothing crosses to host (the reference moves
+    every frame through CPU into o3d, refined_mesh.py:406-447). The volume is
+    donated so the running average updates in place."""
+    rgb, depth = _fusion_rgbd_device(
+        params, config, cam, raster_cfg, sh_deg, remove_depth_edge
     )
-    da = np.asarray(da)
-    depth = da[..., 0] / (da[..., 2] + 1e-8)
-    depth[da[..., 2] < 0.5] = 0.0
-    if remove_depth_edge:
-        edge = geo.get_depth_edge(depth, ker_size=3)
-        edge_vis = np.minimum(edge / max(edge.max(), 1e-12) * 1000, 1)
-        depth[edge_vis > 0.5] = 0.0
-    return rgb, depth
+    intr = jnp.stack(
+        [
+            jnp.stack([cam.fx, jnp.zeros_like(cam.fx), cam.cx]),
+            jnp.stack([jnp.zeros_like(cam.fy), cam.fy, cam.cy]),
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        ]
+    )
+    return tsdf.integrate(vol, depth, rgb, intr, cam.view, depth_trunc=depth_trunc)
 
 
 def extract_mesh_fusion(
@@ -105,16 +159,10 @@ def extract_mesh_fusion(
         cam_list = orbit + cam_list
 
     sh_deg = config.sh_levels - 1
+    trunc = jnp.float32(depth_trunc)
     for cam in cam_list:
-        rgb, depth = render_rgbd_for_fusion(params, config, cam, raster_cfg, sh_deg)
-        fx = float(np.asarray(cam.fx))
-        fy = float(np.asarray(cam.fy))
-        cx = float(np.asarray(cam.cx))
-        cy = float(np.asarray(cam.cy))
-        intr = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-        extr = jnp.asarray(np.asarray(cam.view))
-        vol = tsdf.integrate(
-            vol, jnp.asarray(depth), jnp.asarray(rgb), intr, extr, depth_trunc=depth_trunc
+        vol = _fusion_integrate_cam(
+            vol, params, config, cam, trunc, raster_cfg, sh_deg
         )
 
     verts, faces, colors = tsdf.extract_mesh(vol)

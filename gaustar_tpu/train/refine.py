@@ -37,6 +37,7 @@ import optax
 from gaustar_tpu.cameras import Camera, index_camera
 from gaustar_tpu.models import sugar
 from gaustar_tpu.ops import losses
+from gaustar_tpu.ops import sh as _sh
 from gaustar_tpu.ops.rasterizer import RasterConfig
 from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
 
@@ -140,8 +141,14 @@ def compute_losses(
     sh_deg: int,
     unbind_weight=None,
     pre_sh_dc=None,
+    sh_band_w=None,
 ):
-    """One iteration's full loss (refine.py:552-748). Differentiable in params."""
+    """One iteration's full loss (refine.py:552-748). Differentiable in params.
+
+    `sh_band_w` ([sh_levels] traced per-degree weights) supersedes the static
+    `sh_deg`: the SH warmup becomes a traced input so all warmup stages share
+    ONE compiled step (see ops/sh.py eval_sh_soa_banded — identical values and
+    gradients to static truncation)."""
     camera = index_camera(data.cameras, cam_idx)
     H, W = camera.height, camera.width
     loss_dict = {}
@@ -156,6 +163,7 @@ def compute_losses(
         sh_deg=sh_deg,
         max_depth=cfg.max_depth,
         raster_config=raster_cfg,
+        sh_band_w=sh_band_w,
     )
     gt = data.gt_images[cam_idx]
     if cfg.use_margin:
@@ -247,6 +255,7 @@ def compute_losses_multi(
     sh_deg: int,
     unbind_weight=None,
     pre_sh_dc=None,
+    sh_band_w=None,
 ):
     """Mean of compute_losses over a STATIC batch of cameras (cam_idxs [B]).
 
@@ -265,7 +274,7 @@ def compute_losses_multi(
     for b in range(n):
         loss_b, ld_b = compute_losses(
             params, model_config, data, cam_idxs[b], iteration, cfg, raster_cfg,
-            sh_deg, unbind_weight, pre_sh_dc,
+            sh_deg, unbind_weight, pre_sh_dc, sh_band_w,
         )
         b_total = loss_b if b_total is None else b_total + loss_b
         for k, v in ld_b.items():
@@ -286,16 +295,34 @@ def make_train_step(
     cfg: RefineConfig,
     raster_cfg: RasterConfig,
     optimizer: optax.GradientTransformation,
+    dynamic_sh: bool = True,
 ):
     """Returns jitted step(params, opt_state, cam_idx, iteration, sh_deg, ...) ->
-    (params, opt_state, loss, loss_dict). Re-traces per sh_deg (max sh_levels
-    variants) — the SH warmup schedule of refine.py:837-839. `cam_idx` may be a
-    scalar (reference semantics) or an [B] int vector (multi-camera batch,
-    see compute_losses_multi)."""
+    (params, opt_state, loss, loss_dict). `cam_idx` may be a scalar (reference
+    semantics) or an [B] int vector (multi-camera batch, see
+    compute_losses_multi).
+
+    With `dynamic_sh` (default) the SH warmup schedule of refine.py:837-839 is
+    derived from the TRACED iteration inside the step (sh_deg is ignored): the
+    whole frame shares ONE compiled program. Round 2 measured ~160 s of XLA
+    compile per sh_deg re-jit over the axon tunnel — 3 of the 4 REFSCALE
+    segments were compile, not compute (ROOFLINE.md). With dynamic_sh=False
+    the step re-traces per static sh_deg (the round-2 behavior)."""
+
+    dynamic_sh = dynamic_sh and cfg.do_sh_warmup  # without warmup sh_deg is already fixed
 
     @functools.partial(jax.jit, static_argnames=("sh_deg",), donate_argnums=(0, 1))
     def step(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
         loss_impl = compute_losses if jnp.ndim(cam_idx) == 0 else compute_losses_multi
+
+        sh_band_w = None
+        if dynamic_sh:
+            # sh_deg_at, with a traced iteration: min(it//every + 1, L) - 1.
+            every = max(cfg.num_iterations // 4, 1)
+            cur_deg = jnp.minimum(iteration // every + 1, cfg.sh_levels) - 1
+            # weight-vector length = the MODEL's band count (banded eval runs
+            # over the full stored basis); cur_deg caps at cfg.sh_levels.
+            sh_band_w = _sh.warmup_degree_weights(cur_deg, model_config.sh_levels)
 
         def loss_fn(p):
             return loss_impl(
@@ -309,6 +336,7 @@ def make_train_step(
                 sh_deg,
                 unbind_weight,
                 pre_sh_dc,
+                sh_band_w,
             )
 
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -316,6 +344,12 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, loss_dict
 
+    if dynamic_sh:
+        # sh_deg must not vary the cache key (it is ignored); pin it.
+        def step_dyn(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
+            return step(params, opt_state, cam_idx, iteration, 0, unbind_weight, pre_sh_dc)
+
+        return step_dyn
     return step
 
 

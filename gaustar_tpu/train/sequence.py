@@ -178,8 +178,15 @@ def refine_one_frame(
     detect_cfg: topo_detect.TopoDetectConfig | None = None,
     config_dump_path: str | None = None,
     metrics_path: str | None = None,
+    init_sh: tuple | None = None,
 ):
-    """One refined_training invocation. Returns (params, config, data, topo)."""
+    """One refined_training invocation. Returns (params, config, data, topo).
+
+    `init_sh = (sh_dc [N,1,3], sh_rest [N,K-1,3])` initializes the SH
+    coefficients from the previous frame's CHECKPOINT (the reference loads the
+    previous `.pt` as color prior, refine.py:325-383) instead of the lossy
+    color_mesh.obj vertex-color round-trip — sh_rest survives across frames.
+    Ignored (with a fallback to vertex colors) if the gaussian count changed."""
     topo, ref_edge_len, ref_area = _mesh_stats(mesh_verts, mesh_faces)
     if ref_area_override is not None:
         ref_area = ref_area_override
@@ -193,6 +200,16 @@ def refine_one_frame(
         min_scale=mean_edge * seq.min_gaussian_scalar,
         max_scale=mean_edge * seq.max_gaussian_scalar,
     )
+    if init_sh is not None:
+        dc, rest = init_sh
+        if (
+            dc is not None
+            and dc.shape == tuple(params.sh_dc.shape)
+            and rest.shape == tuple(params.sh_rest.shape)
+        ):
+            params = dataclasses.replace(
+                params, sh_dc=jnp.asarray(dc), sh_rest=jnp.asarray(rest)
+            )
 
     data = _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area)
 
@@ -259,6 +276,7 @@ def run_sequence(
     n_cams = len(cams)
 
     pre_sh = None
+    prev_sh_full = None  # (sh_dc, sh_rest) checkpoint color prior (refine.py:325-383)
     prev_color_mesh = None
 
     for f_idx in range(seq.frame_0, seq.frame_end, seq.interval):
@@ -281,6 +299,7 @@ def run_sequence(
             raster_cfg, is_first, pre_sh=pre_sh, detect_cfg=detect_cfg,
             config_dump_path=os.path.join(fdir, "config.json"),
             metrics_path=os.path.join(fdir, "metrics.jsonl"),
+            init_sh=prev_sh_full,
         )
 
         # --- mesh update if unbound (train_seq.py:150-213) ---
@@ -343,6 +362,11 @@ def run_sequence(
         )
 
         pre_sh = np.asarray(params.sh_dc)[:, 0, :]
+        # Full-SH checkpoint prior for the next frame. If the mesh was updated
+        # this frame, params already live on the updated topology — the same
+        # mesh the warp carries forward — so the mapping through face_corr is
+        # implicit (the re-refine re-bound to the updated faces).
+        prev_sh_full = (np.asarray(params.sh_dc), np.asarray(params.sh_rest))
         prev_color_mesh = color_mesh
 
         # --- warp to next frame (train_seq.py:242-245) ---

@@ -37,8 +37,11 @@ class MetricLogger:
         self._f: IO[str] = open(path, "a")
         self._n = 0
         self.flush_every = max(1, flush_every)
-        if run_meta:
-            self._write({"event": "run_meta", "t": time.time(), **run_meta})
+        # Every logger instance opens a new run: appending a re-run of the same
+        # frame into an existing file would otherwise interleave duplicate steps
+        # indistinguishably. to_csv/summarize read only the LATEST run by
+        # default (split on run_meta events).
+        self._write({"event": "run_meta", "t": time.time(), **(run_meta or {})})
 
     def _write(self, obj: dict):
         self._f.write(json.dumps(obj) + "\n")
@@ -83,13 +86,20 @@ class MetricLogger:
         self.close()
 
 
-def read_events(path: str) -> list[dict]:
+def read_events(path: str, latest_run_only: bool = False) -> list[dict]:
     out = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line:
                 out.append(json.loads(line))
+    if latest_run_only:
+        last_meta = None
+        for i, e in enumerate(out):
+            if e.get("event") == "run_meta":
+                last_meta = i
+        if last_meta is not None:
+            out = out[last_meta:]
     return out
 
 
@@ -97,9 +107,14 @@ def _is_num(v) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
-def to_csv(path: str, csv_path: str, tags: Iterable[str] | None = None) -> list[str]:
-    """Pivot the JSONL stream into a step-indexed CSV. Returns the column order."""
-    events = [e for e in read_events(path) if "step" in e]
+def to_csv(
+    path: str, csv_path: str, tags: Iterable[str] | None = None, latest_run_only: bool = True
+) -> list[str]:
+    """Pivot the JSONL stream into a step-indexed CSV. Returns the column order.
+
+    By default only the LATEST run (events after the last run_meta) is used, so
+    re-running a frame into the same directory doesn't silently merge runs."""
+    events = [e for e in read_events(path, latest_run_only=latest_run_only) if "step" in e]
     if tags is None:
         keys: set[str] = set()
         for e in events:
@@ -114,10 +129,10 @@ def to_csv(path: str, csv_path: str, tags: Iterable[str] | None = None) -> list[
     return tags
 
 
-def summarize(path: str) -> dict[str, dict]:
-    """Per-tag {count, first, last, min, max} over the stream (console TLDR)."""
+def summarize(path: str, latest_run_only: bool = True) -> dict[str, dict]:
+    """Per-tag {count, first, last, min, max} over the LATEST run (console TLDR)."""
     stats: dict[str, dict] = defaultdict(lambda: {"count": 0})
-    for e in read_events(path):
+    for e in read_events(path, latest_run_only=latest_run_only):
         if "step" not in e:
             continue
         for k, v in e.items():

@@ -1,5 +1,6 @@
 """BASELINE.json configs 1-5 as explicit capability demos (compact versions)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -14,6 +15,8 @@ from gaustar_tpu.train import refine
 from gaustar_tpu.train.refine import RefineConfig
 from gaustar_tpu.utils.synthetic import synthetic_frame
 
+
+pytestmark = pytest.mark.slow  # full-budget e2e tier (README: Tests)
 
 def test_config1_static_unbound_rgb_only():
     """Config 1: static frame, unbound gaussians, few views, RGB-only loss."""

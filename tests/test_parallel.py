@@ -28,8 +28,13 @@ def test_sharded_step_runs_and_matches_single():
     uw = jnp.zeros((n_g,), jnp.float32)
     pre = params.sh_dc[:, 0, :] * 0.0
 
-    p1, s1, loss = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
+    p1, s1, loss, caps = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
     assert np.isfinite(float(loss))
+    # Capacity telemetry (pmax over the mesh) must reach the host so the driver
+    # can auto-retry on pair-buffer overflow (ADVICE r2).
+    assert int(caps["num_pairs"]) > 0
+    assert int(caps["num_padded"]) >= int(caps["num_pairs"])
+    assert int(caps["num_pairs"]) <= rcfg.max_pairs
 
     # The sharded mean loss must equal the mean of the per-camera losses.
     singles = []

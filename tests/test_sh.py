@@ -57,3 +57,33 @@ def test_eval_sh_soa_matches_eval_sh_all_degrees():
         ref = sh.eval_sh(deg, jnp.asarray(coeffs[:, :k]), jnp.asarray(dirs))
         got = sh.eval_sh_soa(deg, sh_t[:k], x, y, z)
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_banded_matches_static_truncation_values_and_grads():
+    """sh_to_rgb_banded with 0/1 degree weights == sh_to_rgb at the static
+    degree — values AND gradients (the traced-SH-warmup correctness claim)."""
+    import jax
+
+    rng = np.random.default_rng(4)
+    n, levels = 129, 3
+    coeffs = rng.normal(size=(n, levels**2, 3)).astype(np.float32)
+    positions = rng.normal(size=(n, 3)).astype(np.float32) + np.array([0, 0, 4], np.float32)
+    campos = jnp.zeros(3, jnp.float32)
+
+    for deg in range(levels):
+        k = (deg + 1) ** 2
+
+        def f_static(c):
+            return sh.sh_to_rgb(deg, c[:, :k], jnp.asarray(positions), campos).sum()
+
+        def f_banded(c):
+            w = sh.warmup_degree_weights(jnp.int32(deg), levels)
+            return sh.sh_to_rgb_banded(c, jnp.asarray(positions), campos, w).sum()
+
+        c = jnp.asarray(coeffs)
+        v0, g0 = jax.value_and_grad(f_static)(c)
+        v1, g1 = jax.value_and_grad(f_banded)(c)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-6)
+        # masked bands must receive exactly zero gradient
+        assert np.all(np.asarray(g1)[:, k:] == 0.0)

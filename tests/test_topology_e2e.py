@@ -16,6 +16,7 @@ the pixel footprint: this rig is 96 px / ~25 mm-per-pixel vs the reference's
 (intra-pixel depth variation) reasons.
 """
 
+import pytest
 import dataclasses
 import os
 
@@ -32,6 +33,8 @@ from gaustar_tpu.train import topo_detect
 from gaustar_tpu.train.sequence import SequenceConfig, run_sequence
 from gaustar_tpu.utils.general import inverse_sigmoid
 from gaustar_tpu.utils.synthetic import ring_cameras
+
+pytestmark = pytest.mark.slow  # full-budget e2e tier (README: Tests)
 
 W = H = 96
 FOCAL = 120.0
