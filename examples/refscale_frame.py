@@ -54,23 +54,50 @@ INNER = 50  # iterations per device call (tunnel watchdog bound, see r2 notes)
 
 
 def widen_rig(data):
-    """Widen the bench's 4-camera rig to the reference's 40 and stamp a 20 cm
-    dent disc into GT depth/colors so the detector has a real change to flag."""
-    from gaustar_tpu.cameras import stack_cameras
+    """Widen the bench's 4-camera rig to the reference's 40 with GEOMETRICALLY
+    CONSISTENT GT: analytic ray-sphere depth per camera (the bench's flat-slab
+    depth disagrees with the sphere by up to 60 cm, which flags most of the
+    surface and makes surgery graft a million-face patch — round-3 run 1).
+    A deliberate 8 cm dent disc per view is the only inconsistency, so the
+    detector flags a LOCAL region like the reference's cloth-pickup scenario."""
+    from gaustar_tpu.cameras import index_camera, stack_cameras
     from gaustar_tpu.utils.synthetic import ring_cameras
 
+    center = np.array([0.0, 0.0, 4.0])
+    radius = 0.6
     cams = stack_cameras(ring_cameras(N_CAMS, w=W, h=H, focal=1600.0))
-    gt_img = np.asarray(data.gt_images[0])
-    gt_depth = np.asarray(data.gt_depths[0])
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    dent = ((xx - W * 0.42) ** 2 + (yy - H * 0.5) ** 2) < 60.0**2
-    gt_depth = np.where(dent, np.float32(3.6), gt_depth)
-    gt_img = np.where(dent[..., None], np.float32(0.15), gt_img)
-    rep = lambda a: jnp.broadcast_to(jnp.asarray(a)[None], (N_CAMS,) + a.shape)
+    gt_imgs, gt_depths = [], []
+    for ci in range(N_CAMS):
+        cam = index_camera(cams, ci)
+        view = np.asarray(cam.view, np.float64)
+        c_cam = view[:3, :3] @ center + view[:3, 3]
+        fx, fy = float(np.asarray(cam.fx)), float(np.asarray(cam.fy))
+        vx = (xx - W / 2.0) / fx
+        vy = (yy - H / 2.0) / fy
+        # ray p(t) = t * (vx, vy, 1); |p - c_cam|^2 = r^2; depth = view z = t.
+        a = vx * vx + vy * vy + 1.0
+        b = -2.0 * (vx * c_cam[0] + vy * c_cam[1] + c_cam[2])
+        c0 = float(c_cam @ c_cam) - radius * radius
+        disc = b * b - 4.0 * a * c0
+        hit = disc > 0
+        t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a), 10.5)
+        # World-space dent: an 8 cm-deep depression inside a 13 cm ball on the
+        # sphere surface — the SAME 3D change in every view (multi-view
+        # consistent, like the reference's cloth-pickup scenario).
+        pw = (np.stack([vx * t, vy * t, t], axis=-1) - view[:3, 3]) @ view[:3, :3]
+        dent_center = center + radius * np.array([1.0, 0.0, 0.0])
+        dent = hit & (np.linalg.norm(pw - dent_center, axis=-1) < 0.13)
+        depth = np.where(dent, t + 0.08, t).astype(np.float32)
+        img = np.where(hit[..., None], np.float32(0.5),
+                       np.array([0.0, 1.0, 0.0], np.float32))
+        img = np.where(dent[..., None], np.float32(0.15), img)
+        gt_imgs.append(img.astype(np.float32))
+        gt_depths.append(depth)
     return data._replace(
         cameras=cams,
-        gt_images=rep(gt_img),
-        gt_depths=rep(gt_depth),
+        gt_images=jnp.asarray(np.stack(gt_imgs)),
+        gt_depths=jnp.asarray(np.stack(gt_depths)),
         margins=jnp.broadcast_to(data.margins[:1], (N_CAMS, 4)),
     )
 
@@ -189,8 +216,16 @@ def main():
     )
 
     # --- detection over all 40 cams (the sequence driver runs this mid-refine
-    # AND again before the update; we time the post-training pass) ---
+    # AND again before the update; we time the post-training pass). A 1-camera
+    # warmup isolates the one-time jit compile of the detection body. ---
     topo = build_topology(np.asarray(config.faces), params.points.shape[0])
+    t0 = time.time()
+    from gaustar_tpu.cameras import index_camera as _ic
+    detect_topo_err(
+        params, config, data.cameras, np.asarray(data.gt_depths[:1]), topo,
+        raster_cfg, TopoDetectConfig(),
+    )
+    detect_compile_s = time.time() - t0
     t0 = time.time()
     face_w = detect_topo_err(
         params, config, data.cameras, np.asarray(data.gt_depths), topo,
@@ -198,18 +233,24 @@ def main():
     )
     detect_s = time.time() - t0
     n_flagged = int((face_w >= 0.6).sum())
+    report["detect_compile_s"] = round(detect_compile_s, 1)
     report["detect_topo_s"] = round(detect_s, 1)
     report["detect_flagged_faces"] = n_flagged
-    print(f"detection over {N_CAMS} cams: {detect_s:.1f}s, flagged faces {n_flagged}",
+    print(f"detection over {N_CAMS} cams: {detect_s:.1f}s "
+          f"(+{detect_compile_s:.1f}s one-time compile), flagged faces {n_flagged}",
           flush=True)
 
     # --- mesh-update cycle (train_seq.py:150-213) ---
     update_ok = False
     try:
         t0 = time.time()
+        # simplify_face_num mirrors the reference's quadric decimation of the
+        # fused mesh (refined_mesh.py:458); marching tetrahedra at 8 mm voxels
+        # would otherwise graft ~1.4M-face patches (round-3 run 1).
         fusion = mesh_update.extract_mesh_fusion(
             params, config, data.cameras, raster_cfg,
             voxel_size=0.008, sdf_trunc=0.02, max_dim=512,
+            simplify_face_num=150_000,
         )
         fusion_s = time.time() - t0
         report["fusion_s"] = round(fusion_s, 1)

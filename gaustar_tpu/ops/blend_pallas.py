@@ -134,12 +134,13 @@ def _state_col(ch: int) -> int:
 
 
 def _fwd_kernel(
-    start_ref, nchunks_ref, pair_hbm, out_ref, buf, state, sem, *,
+    start_ref, nchunks_ref, base_ref, pair_hbm, out_ref, buf, state, sem, *,
     grid_x, width, height, chunk, channels
 ):
     t = pl.program_id(0)
     start = start_ref[t]
     nch = nchunks_ref[t]
+    tg = t + base_ref[0]  # global tile id (strip blending: base = strip start)
 
     # Empty tiles (most of a typical grid) get a constant background block:
     # color 0, T = 1, n_contrib 0 — no state init, no transpose.
@@ -150,7 +151,7 @@ def _fwd_kernel(
 
     @pl.when(nch > 0)
     def _nonempty():
-        _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem,
+        _fwd_tile(tg, start, nch, pair_hbm, out_ref, buf, state, sem,
                   grid_x=grid_x, width=width, height=height, chunk=chunk,
                   channels=channels)
 
@@ -246,9 +247,13 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *,
 
 def _blend_fwd_raw(
     pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk,
-    channels, interpret
+    channels, interpret, tile_base=None
 ):
-    n_tiles = grid_x * grid_y
+    # n_tiles = this call's STRIP length (the full grid unless tile_base is
+    # given; the gaussian-axis sharded path blends ceil(T/D) tiles per device).
+    n_tiles = tile_start.shape[0]
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _fwd_kernel, grid_x=grid_x, width=width, height=height, chunk=chunk,
         channels=channels,
@@ -256,7 +261,7 @@ def _blend_fwd_raw(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -268,7 +273,7 @@ def _blend_fwd_raw(
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_nchunks, pair_data)
+    )(tile_start, tile_nchunks, tile_base.reshape(1).astype(jnp.int32), pair_data)
     return out
 
 
@@ -280,6 +285,7 @@ def _blend_fwd_raw(
 def _bwd_kernel(
     start_ref,
     used_ref,
+    base_ref,
     pair_hbm,
     fwd_ref,
     dout_ref,
@@ -297,6 +303,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = start_ref[t]
     used = used_ref[t]
+    tg = t + base_ref[0]  # global tile id (strip blending)
 
     # Most tiles of a typical capture have no contributors (empty background or
     # padding) — skip ALL work for them, including the input transposes. Their
@@ -304,7 +311,7 @@ def _bwd_kernel(
     @pl.when(used > 0)
     def _tile_body():
         _bwd_tile(
-            t, start, used, pair_hbm, fwd_ref, dout_ref, grads_hbm, buf, gbuf, acc,
+            tg, start, used, pair_hbm, fwd_ref, dout_ref, grads_hbm, buf, gbuf, acc,
             sem_in, sem_out, grid_x=grid_x, chunk=chunk, channels=channels,
         )
 
@@ -427,15 +434,17 @@ def _bwd_tile(
 
 def _blend_bwd_raw(
     pair_data, tile_start, tile_used, fwd_out, dout, grid_x, grid_y, chunk,
-    channels, interpret
+    channels, interpret, tile_base=None
 ):
-    n_tiles = grid_x * grid_y
+    n_tiles = tile_start.shape[0]
     cap = pair_data.shape[1]
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk, channels=channels)
     grads = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -454,7 +463,7 @@ def _blend_bwd_raw(
         out_shape=jax.ShapeDtypeStruct((NFIELDS, cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_used, pair_data, fwd_out, dout)
+    )(tile_start, tile_used, tile_base.reshape(1).astype(jnp.int32), pair_data, fwd_out, dout)
     return grads
 
 
@@ -469,7 +478,38 @@ def _auto_interpret(interpret):
     return interpret
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def blend_tiles_pallas_base(
+    pair_data,
+    tile_start,
+    tile_nchunks,
+    tile_base,
+    grid_x: int,
+    grid_y: int,
+    width: int,
+    height: int,
+    chunk: int = 256,
+    channels: int = 3,
+    interpret: bool | None = None,
+):
+    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, C, PIX],
+    final_T [T, PIX], n_contrib [T, PIX] int32), T = len(tile_start).
+    Differentiable in pair_data only.
+
+    channels=3 is the reference layout (config.h:15); channels=4 fuses a second
+    feature (view-space depth) into the same pass — the training step's RGB and
+    depth renders share identical blend weights, so one pass is exact.
+
+    `tile_base` ([1] i32, traced) offsets tile ids for pixel-coordinate
+    purposes: the gaussian-axis sharded path blends a STRIP of ceil(T/D) tiles
+    per device (tile_start/tile_nchunks are the strip's slices; segment offsets
+    still index the full pair_data)."""
+    out, _ = _fwd_impl(
+        pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
+    )
+    return out
+
+
 def blend_tiles_pallas(
     pair_data,
     tile_start,
@@ -482,19 +522,14 @@ def blend_tiles_pallas(
     channels: int = 3,
     interpret: bool | None = None,
 ):
-    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, C, PIX],
-    final_T [T, PIX], n_contrib [T, PIX] int32). Differentiable in pair_data only.
-
-    channels=3 is the reference layout (config.h:15); channels=4 fuses a second
-    feature (view-space depth) into the same pass — the training step's RGB and
-    depth renders share identical blend weights, so one pass is exact."""
-    out, _ = _fwd_impl(
-        pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret
+    """Full-grid blend (tile_base = 0); see blend_tiles_pallas_base."""
+    return blend_tiles_pallas_base(
+        pair_data, tile_start, tile_nchunks, jnp.zeros((1,), jnp.int32),
+        grid_x, grid_y, width, height, chunk, channels, interpret,
     )
-    return out
 
 
-def _fwd_impl(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret):
+def _fwd_impl(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret):
     assert channels in (3, 4), "pallas blend supports 3 (reference) or 4 (fused depth) channels"
     raw = _blend_fwd_raw(
         pair_data,
@@ -507,6 +542,7 @@ def _fwd_impl(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height
         chunk,
         channels,
         _auto_interpret(interpret),
+        tile_base=tile_base,
     )
     if channels == 3:
         color = raw[:, 0:3, :]
@@ -517,15 +553,15 @@ def _fwd_impl(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height
     return (color, final_t, ncontrib), raw
 
 
-def _blend_fwd_rule(pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret):
+def _blend_fwd_rule(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret):
     out, raw = _fwd_impl(
-        pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk, channels, interpret
+        pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
     )
-    return out, (pair_data, tile_start, tile_nchunks, raw)
+    return out, (pair_data, tile_start, tile_nchunks, tile_base, raw)
 
 
 def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res, cts):
-    pair_data, tile_start, tile_nchunks, raw = res
+    pair_data, tile_start, tile_nchunks, tile_base, raw = res
     d_color, d_final_t, _ = cts
     zeros1 = jnp.zeros_like(raw[:, 0:1, :])
     if channels == 3:
@@ -555,6 +591,7 @@ def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, r
         chunk,
         channels,
         _auto_interpret(interpret),
+        tile_base=tile_base,
     )
     # Zero the slots the kernel never wrote (tiles' unused chunks + padding).
     # Written slots form disjoint intervals [start_t, start_t + used_t*chunk) in
@@ -570,7 +607,8 @@ def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, r
     grads = jnp.where(written[None, :], grads, 0.0)
     d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
     d_tn = np.zeros(tile_nchunks.shape, jax.dtypes.float0)
-    return grads, d_ts, d_tn
+    d_tb = np.zeros(tile_base.shape, jax.dtypes.float0)
+    return grads, d_ts, d_tn, d_tb
 
 
-blend_tiles_pallas.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+blend_tiles_pallas_base.defvjp(_blend_fwd_rule, _blend_bwd_rule)

@@ -165,6 +165,36 @@ def compute_losses(
         raster_config=raster_cfg,
         sh_band_w=sh_band_w,
     )
+    loss, loss_dict = losses_after_render(
+        params, model_config, data, cam_idx, iteration, cfg,
+        img, pred_depth, unbind_weight, pre_sh_dc,
+    )
+    # Capacity telemetry: lets the host loop auto-grow the raster config on
+    # overflow instead of silently truncating (see refine_frame).
+    loss_dict["num_pairs"] = _aux.num_pairs
+    loss_dict["num_padded"] = _aux.num_padded
+    return loss, loss_dict
+
+
+def losses_after_render(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cam_idx,
+    iteration,
+    cfg: RefineConfig,
+    img,
+    pred_depth,
+    unbind_weight=None,
+    pre_sh_dc=None,
+):
+    """The full refine loss stack GIVEN a rendered (img, pred_depth) — shared
+    by the single-device path (compute_losses) and the gaussian-axis sharded
+    path (parallel/gauss2d.py), so their loss math is one implementation."""
+    camera = index_camera(data.cameras, cam_idx)
+    H, W = camera.height, camera.width
+    loss_dict = {}
+
     gt = data.gt_images[cam_idx]
     if cfg.use_margin:
         mask = margin_mask(data.margins[cam_idx], H, W)
@@ -173,10 +203,6 @@ def compute_losses(
         rgb = losses.rgb_loss(img, gt, cfg.dssim_factor)
     loss = rgb
     loss_dict["rgb_loss"] = rgb
-    # Capacity telemetry: lets the host loop auto-grow the raster config on
-    # overflow instead of silently truncating (see refine_frame).
-    loss_dict["num_pairs"] = _aux.num_pairs
-    loss_dict["num_padded"] = _aux.num_padded
 
     # --- depth + mask losses (refine.py:599-660) ---
     depth_on = iteration > cfg.depth_loss_from
