@@ -107,6 +107,30 @@ def reference_mode(**overrides) -> TopoDetectConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("raster_cfg", "cfg"))
+def _detect_all_cams(
+    render_params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    cameras: Camera,  # batched (leading axis C on every float leaf)
+    gt_depths: jnp.ndarray,  # [C, H, W] device
+    raster_cfg: RasterConfig,
+    cfg: TopoDetectConfig,
+):
+    """ALL cameras' detection in ONE device dispatch (lax.scan over the rig):
+    per-camera host dispatch over the axon tunnel costs ~1s in RPC + per-array
+    fetch sync; the scan returns the full [C, V] loss/visibility stack in one
+    fetch. The scan body is _detect_cam_body's math verbatim."""
+    def body(_, inp):
+        cam, gt = inp
+        vl, vis = _detect_cam_body.__wrapped__(
+            render_params, config, cam, gt, raster_cfg, cfg
+        )
+        return None, (vl, vis)
+
+    _, (vls, viss) = jax.lax.scan(body, None, (cameras, gt_depths))
+    return vls, viss
+
+
+@functools.partial(jax.jit, static_argnames=("raster_cfg", "cfg"))
 def _detect_cam_body(
     render_params: sugar.SuGaRParams,
     config: sugar.SuGaRConfig,
@@ -193,19 +217,14 @@ def detect_topo_err(
             ),
         )
 
-    # Host loop over cameras; each step is ONE device dispatch of the jitted
-    # body returning two [V]-sized arrays. Accumulation happens in [C, V] host
-    # buffers (a few MB) exactly as the reference's loop does.
-    vert_loss_total = np.zeros((n_cams, vert_num))
-    vert_visual_total = np.zeros((n_cams, vert_num), dtype=bool)
+    # ONE device dispatch for the whole rig (lax.scan over cameras); only the
+    # [C, V] loss/visibility stacks cross to host, in one fetch.
     gt_dev = jnp.asarray(gt_depths, jnp.float32)
-    for ci in range(n_cams):
-        cam = index_camera(cameras, ci)
-        vl, vis = _detect_cam_body(
-            render_params, config, cam, gt_dev[ci], raster_cfg, cfg
-        )
-        vert_loss_total[ci] = np.asarray(vl)
-        vert_visual_total[ci] = np.asarray(vis)
+    vls, viss = _detect_all_cams(
+        render_params, config, cameras, gt_dev, raster_cfg, cfg
+    )
+    vert_loss_total = np.asarray(vls, np.float64)
+    vert_visual_total = np.asarray(viss)
 
     vert_cnt = vert_visual_total.sum(axis=0)
     observed = vert_cnt >= cfg.min_observe
