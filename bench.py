@@ -95,13 +95,19 @@ def build_scene():
         edges=jnp.asarray(topo.edges),
         adj_faces=jnp.asarray(topo.adj_faces),
     )
+    from gaustar_tpu.train.refine import with_face_edge_tables
+
+    data = with_face_edge_tables(data, faces)
     # Capacities sized to the measured demand (examples/profile_binning.py:
     # num_pairs 1.07M, num_padded 1.17M at this scale) with ~2x headroom —
     # every pair-scale op costs proportionally to the STATIC capacity, and the
     # host-level auto-retry (train/refine.py) re-jits with doubled capacity if
     # a scene overflows.
+    chunk = int(os.environ.get("GAUSTAR_BENCH_CHUNK", "256"))
+    # Finer chunks waste fewer padded slots (9% at 256 -> ~4.5% at 128) but
+    # add scan steps per pair; measured empirically via GAUSTAR_BENCH_CHUNK.
     raster_cfg = RasterConfig(
-        max_pairs=1_536_000, max_padded=1_536_000, chunk=256, impl="pallas"
+        max_pairs=1_536_000, max_padded=1_600_000, chunk=chunk, impl="pallas"
     )
     return params, config, data, raster_cfg
 

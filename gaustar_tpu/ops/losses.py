@@ -189,6 +189,49 @@ def mesh_edge_isometry_loss(verts, edges, ref_lengths) -> jnp.ndarray:
     return ((edge_lengths(verts, edges) - ref_lengths) ** 2).mean()
 
 
+def face_edge_tables(faces: np.ndarray, edges: np.ndarray, ref_lengths: np.ndarray):
+    """Host-side tables for mesh_edge_isometry_loss_faces: per face corner k,
+    the edge (faces[:, k], faces[:, (k+1)%3])'s reference length [F, 3] and a
+    weight [F, 3] = 1 / (E * multiplicity) such that the weighted sum over all
+    face edges equals the MEAN over unique edges (interior edges appear in two
+    faces, boundary edges in one)."""
+    faces = np.asarray(faces)
+    edges = np.asarray(edges)
+    nv = int(max(faces.max(), edges.max())) + 1
+    fe_a = faces
+    fe_b = faces[:, [1, 2, 0]]
+    fe_key = np.minimum(fe_a, fe_b).astype(np.int64) * nv + np.maximum(fe_a, fe_b)
+    e_key = np.minimum(edges[:, 0], edges[:, 1]).astype(np.int64) * nv + np.maximum(
+        edges[:, 0], edges[:, 1]
+    )
+    order = np.argsort(e_key)
+    pos = np.searchsorted(e_key[order], fe_key.reshape(-1))
+    edge_id = order[pos].reshape(faces.shape)
+    assert (e_key[edge_id] == fe_key).all(), "face edge not found in edge list"
+    mult = np.bincount(edge_id.reshape(-1), minlength=len(edges))
+    w = (1.0 / (mult[edge_id] * float(len(edges)))).astype(np.float32)
+    ref = np.asarray(ref_lengths, np.float32)[edge_id]
+    return ref, w
+
+
+def mesh_edge_isometry_loss_faces(verts, faces, face_edge_ref, face_edge_w) -> jnp.ndarray:
+    """Edge-iso computed from the FACE corner gather instead of a separate
+    verts[edges] gather: sum_k w[:, k] * (|v_k - v_{k+1}| - ref[:, k])^2, with
+    tables from face_edge_tables — numerically equal to
+    mesh_edge_isometry_loss (each unique edge counted once via the weights),
+    but its gradient rides the SAME verts[faces] gather the normal-consistency
+    and area losses use, so the backward has one shared vertex scatter instead
+    of two (the gather's transpose adds the cotangents before scattering)."""
+    v = _face_corner_comps(verts, faces)
+    total = jnp.float32(0.0)
+    for k in range(3):
+        k2 = (k + 1) % 3
+        d = [v[k][dd] - v[k2][dd] for dd in range(3)]
+        ln = jnp.sqrt(jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-24))
+        total = total + (face_edge_w[:, k] * (ln - face_edge_ref[:, k]) ** 2).sum()
+    return total
+
+
 def mesh_area_isometry_loss(verts, faces, ref_areas) -> jnp.ndarray:
     """|face_area - ref_area| mean — refine.py:700-706 area-iso term."""
     areas, _ = face_areas_normals(verts, faces)

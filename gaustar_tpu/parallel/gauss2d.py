@@ -87,9 +87,11 @@ def _data_specs(data: FrameData, cam_axis: str) -> FrameData:
         width=data.cameras.width, height=data.cameras.height,
         znear=data.cameras.znear, zfar=data.cameras.zfar,
     )
+    opt = lambda x: P() if x is not None else None
     return FrameData(
         cameras=cam_sharded, gt_images=c, gt_depths=c, margins=c,
         ref_edge_len=P(), ref_area=P(), edges=P(), adj_faces=P(),
+        face_edge_ref=opt(data.face_edge_ref), face_edge_w=opt(data.face_edge_w),
     )
 
 

@@ -51,6 +51,7 @@ def _frame_data_specs(data: FrameData) -> FrameData:
         width=data.cameras.width, height=data.cameras.height,
         znear=data.cameras.znear, zfar=data.cameras.zfar,
     )
+    opt = lambda x: P() if x is not None else None
     return FrameData(
         cameras=cam_sharded,
         gt_images=P("cam"),
@@ -60,6 +61,8 @@ def _frame_data_specs(data: FrameData) -> FrameData:
         ref_area=P(),
         edges=P(),
         adj_faces=P(),
+        face_edge_ref=opt(data.face_edge_ref),
+        face_edge_w=opt(data.face_edge_w),
     )
 
 

@@ -88,6 +88,21 @@ class FrameData(NamedTuple):
     ref_area: Any  # [F]
     edges: Any  # [E, 2] int32 (topology of the bound mesh)
     adj_faces: Any  # [E_int, 2] int32
+    # Optional fused edge-iso tables (losses.face_edge_tables): when present,
+    # the edge-iso loss rides the shared verts[faces] gather instead of its own
+    # verts[edges] gather + backward scatter (~7 ms/step at reference scale).
+    face_edge_ref: Any = None  # [F, 3]
+    face_edge_w: Any = None  # [F, 3]
+
+
+def with_face_edge_tables(data: "FrameData", faces) -> "FrameData":
+    """Attach the fused edge-iso tables derived from the frame's topology."""
+    ref, w = losses.face_edge_tables(
+        np.asarray(faces), np.asarray(data.edges), np.asarray(data.ref_edge_len)
+    )
+    import jax.numpy as _jnp
+
+    return data._replace(face_edge_ref=_jnp.asarray(ref), face_edge_w=_jnp.asarray(w))
 
 
 def compute_margins(cx, cy, width, height) -> np.ndarray:
@@ -231,9 +246,14 @@ def losses_after_render(
     loss_dict["nc_loss"] = nc
 
     edge_on = iteration > cfg.edge_iso_from
-    edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss(
-        verts, data.edges, data.ref_edge_len
-    )
+    if data.face_edge_ref is not None:
+        edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss_faces(
+            verts, faces, data.face_edge_ref, data.face_edge_w
+        )
+    else:
+        edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss(
+            verts, data.edges, data.ref_edge_len
+        )
     loss = loss + jnp.where(edge_on, edge, 0.0)
     loss_dict["edge_loss"] = edge
 

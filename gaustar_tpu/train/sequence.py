@@ -143,12 +143,12 @@ def _mesh_stats(verts, faces):
     return topo, el, np.asarray(areas)
 
 
-def _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area):
+def _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area, faces=None):
     batch = stack_cameras(cams)
     margins = refine.compute_margins(
         np.asarray(batch.cx), np.asarray(batch.cy), batch.width, batch.height
     )
-    return refine.FrameData(
+    data = refine.FrameData(
         cameras=batch,
         gt_images=jnp.asarray(gt_images),
         gt_depths=jnp.asarray(gt_depths),
@@ -158,6 +158,9 @@ def _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area):
         edges=jnp.asarray(topo.edges),
         adj_faces=jnp.asarray(topo.adj_faces),
     )
+    if faces is not None:
+        data = refine.with_face_edge_tables(data, faces)
+    return data
 
 
 def refine_one_frame(
@@ -211,7 +214,9 @@ def refine_one_frame(
                 params, sh_dc=jnp.asarray(dc), sh_rest=jnp.asarray(rest)
             )
 
-    data = _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area)
+    data = _build_frame_data(
+        cams, gt_images, gt_depths, topo, ref_edge_len, ref_area, faces=mesh_faces
+    )
 
     iters = num_iterations or seq.refinement_iterations
     cfg = refine.RefineConfig(

@@ -156,3 +156,35 @@ def test_normal_consistency_matches_pytorch3d_form():
         )
         want = pytorch3d_nc(verts, faces)
         assert np.isclose(ours, want, rtol=2e-4, atol=2e-5), (ours, want)
+
+
+def test_edge_isometry_fused_matches_edge_form():
+    """mesh_edge_isometry_loss_faces (face-gather form) must equal
+    mesh_edge_isometry_loss (edge-gather form) in value AND gradient."""
+    import jax
+
+    from gaustar_tpu.mesh.primitives import icosphere
+    from gaustar_tpu.mesh.topology import build_topology
+
+    verts, faces = icosphere(2, radius=0.5)
+    rng = np.random.default_rng(0)
+    verts = verts + rng.normal(scale=0.01, size=verts.shape).astype(np.float32)
+    topo = build_topology(faces, len(verts))
+    ref = np.asarray(
+        losses.edge_lengths(jnp.asarray(verts), jnp.asarray(topo.edges))
+    ) * 1.05
+    fe_ref, fe_w = losses.face_edge_tables(faces, topo.edges, ref)
+
+    def f_edge(v):
+        return losses.mesh_edge_isometry_loss(v, jnp.asarray(topo.edges), jnp.asarray(ref))
+
+    def f_face(v):
+        return losses.mesh_edge_isometry_loss_faces(
+            v, jnp.asarray(faces), jnp.asarray(fe_ref), jnp.asarray(fe_w)
+        )
+
+    v = jnp.asarray(verts)
+    l0, g0 = jax.value_and_grad(f_edge)(v)
+    l1, g1 = jax.value_and_grad(f_face)(v)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-8)
