@@ -191,21 +191,17 @@ def compute_losses(
     return loss, loss_dict
 
 
-def losses_after_render(
-    params: sugar.SuGaRParams,
-    model_config: sugar.SuGaRConfig,
+def pixel_losses(
     data: FrameData,
     cam_idx,
     iteration,
     cfg: RefineConfig,
     img,
     pred_depth,
-    unbind_weight=None,
-    pre_sh_dc=None,
 ):
-    """The full refine loss stack GIVEN a rendered (img, pred_depth) — shared
-    by the single-device path (compute_losses) and the gaussian-axis sharded
-    path (parallel/gauss2d.py), so their loss math is one implementation."""
+    """The CAMERA-dependent loss terms (rgb + depth + mask) given a rendered
+    (img, pred_depth). Split out so batched steps can scan over cameras while
+    computing the camera-independent mesh/reg terms once."""
     camera = index_camera(data.cameras, cam_idx)
     H, W = camera.height, camera.width
     loss_dict = {}
@@ -230,6 +226,25 @@ def losses_after_render(
     loss = loss + jnp.where(depth_on, depth_loss, 0.0) + jnp.where(mask_on, mask_loss, 0.0)
     loss_dict["depth_loss"] = depth_loss
     loss_dict["mask_loss"] = mask_loss
+    return loss, loss_dict
+
+
+def losses_after_render(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cam_idx,
+    iteration,
+    cfg: RefineConfig,
+    img,
+    pred_depth,
+    unbind_weight=None,
+    pre_sh_dc=None,
+):
+    """The full refine loss stack GIVEN a rendered (img, pred_depth) — shared
+    by the single-device path (compute_losses) and the gaussian-axis sharded
+    path (parallel/gauss2d.py), so their loss math is one implementation."""
+    loss, loss_dict = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth)
 
     # --- SH regularization to previous frame (refine.py:663-669) ---
     if cfg.use_sh_reg and pre_sh_dc is not None:

@@ -3,6 +3,7 @@
 item 4). 8 virtual CPU devices (conftest), 2x4 mesh.
 """
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -94,6 +95,7 @@ def _sharded_grads(params, config, data, rcfg, cfg, gauss=4, sh_deg=1):
     return float(loss), grads, caps
 
 
+@pytest.mark.slow  # scale/budget test (fast tier keeps a cheaper sibling)
 def test_gauss2d_gradient_parity_jax_blend():
     params, config, data, rcfg = _scene(impl="jax")
     cfg = RefineConfig(num_iterations=100, loose_bind_from=10**9, do_sh_warmup=False)
@@ -117,6 +119,7 @@ def test_gauss2d_gradient_parity_jax_blend():
         )
 
 
+@pytest.mark.slow  # scale/budget test (fast tier keeps a cheaper sibling)
 def test_gauss2d_gradient_parity_pallas_strip_blend():
     """Same parity through the PRODUCTION Pallas strip blend (interpret mode on
     CPU devices — the kernel path the chips run, incl. tile_base offsets)."""

@@ -36,7 +36,9 @@ def test_logger_plugs_into_refine_log_fn(tmp_path):
     with MetricLogger(p) as lg:
         fn = lg.as_log_fn()
         fn({"iteration": 50, "loss": 0.7, "rgb_loss": 0.6, "num_pairs": 1000})
-    e = read_events(p)[0]
+    # events[0] is the auto run_meta (run separation, ADVICE r2); the first
+    # STEP event follows it.
+    e = [x for x in read_events(p) if "step" in x][0]
     assert e["step"] == 50 and e["num_pairs"] == 1000
     json.dumps(e)  # serializable end-to-end
 

@@ -4,6 +4,7 @@ Semantics contract: a B-camera batch loss/gradient equals the MEAN of the B
 single-camera losses/gradients (the camera-DP layout's local analog); B=1 is
 bit-identical to compute_losses."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +54,7 @@ def _scene():
     return params, config, data, rcfg
 
 
+@pytest.mark.slow  # scale/budget test (fast tier keeps a cheaper sibling)
 def test_multi_camera_batch_equals_mean_of_singles():
     params, config, data, rcfg = _scene()
     cfg = RefineConfig(num_iterations=100, do_sh_warmup=False)

@@ -1,5 +1,6 @@
 """Hash-grid neural field: fits a simple scene and extracts a mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ def test_hash_encode_shapes_and_interp():
     assert float(jnp.abs(e1 - e2).max()) < 1e-3
 
 
+@pytest.mark.slow  # scale/budget test (fast tier keeps a cheaper sibling)
 def test_field_fits_sphere_and_extracts_mesh():
     """Train briefly on synthetic views of a white sphere; extracted mesh should
     be a blob near the sphere."""

@@ -1,5 +1,6 @@
 """Multi-device (8 virtual CPU devices) camera-sharded training step."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,7 @@ def test_sharded_step_runs_and_matches_single():
     assert not np.allclose(np.asarray(p1.sh_dc), np.asarray(params.sh_dc))
 
 
+@pytest.mark.slow  # scale/budget test (fast tier keeps a cheaper sibling)
 def test_gauss_sharded_render_matches_single_device():
     """Gaussian-axis model parallelism: 8-device sharded render == 1-device."""
     from gaustar_tpu.cameras import Camera
