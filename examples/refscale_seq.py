@@ -64,8 +64,9 @@ def _analytic_frame(cam_view, fx, fy, dent: bool):
         t = np.where(dmask, t + 0.08, t)
     else:
         dmask = np.zeros_like(hit)
-    rgb = np.where(hit[..., None], 128, 0).astype(np.uint8)
-    rgb = np.where(dmask[..., None], np.uint8(38), rgb)
+    rgb = np.zeros((H, W, 3), np.uint8)
+    rgb[hit] = 128
+    rgb[dmask] = 38
     alpha = (hit * 255).astype(np.uint8)
     depth = np.where(hit, t, 999.0).astype(np.float32)
     return rgb, alpha, depth

@@ -348,15 +348,23 @@ def make_gauss2d_train_step(
             )
             return loss, grads, caps
 
+        # `data`/config ride as jit ARGUMENTS (closure arrays bake into the
+        # remote compile payload — HTTP 413 at reference scale, train/refine.py).
         @jax.jit
-        def step(params, opt_state, cam_idx, iteration, unbind_weight, pre_sh_dc):
+        def _step(params, opt_state, mcfg, fdata, cam_idx, iteration, unbind_weight, pre_sh_dc):
             loss, grads, caps = grad_shard(
-                params, model_config, model_config, data, cam_idx, iteration,
+                params, mcfg, mcfg, fdata, cam_idx, iteration,
                 unbind_weight, pre_sh_dc,
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, {"num_pairs": caps}
+
+        def step(params, opt_state, cam_idx, iteration, unbind_weight, pre_sh_dc):
+            return _step(
+                params, opt_state, model_config, data, cam_idx, iteration,
+                unbind_weight, pre_sh_dc,
+            )
 
         return step
 

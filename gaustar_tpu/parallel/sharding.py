@@ -119,15 +119,20 @@ def make_sharded_train_step(
             caps = jax.lax.pmax(caps, "cam")
             return loss, grads, caps
 
+        # `data` rides as a jit ARGUMENT (closure arrays bake into the remote
+        # compile payload — HTTP 413 at reference scale, see train/refine.py).
         @jax.jit
-        def step(params, opt_state, cam_idx, iteration, unbind_weight, pre_sh_dc):
+        def _step(params, opt_state, fdata, cam_idx, iteration, unbind_weight, pre_sh_dc):
             loss, grads, caps = grad_shard(
-                params, data, cam_idx, iteration, unbind_weight, pre_sh_dc
+                params, fdata, cam_idx, iteration, unbind_weight, pre_sh_dc
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             caps_dict = {"num_pairs": caps[0], "num_padded": caps[1]}
             return params, opt_state, loss, caps_dict
+
+        def step(params, opt_state, cam_idx, iteration, unbind_weight, pre_sh_dc):
+            return _step(params, opt_state, data, cam_idx, iteration, unbind_weight, pre_sh_dc)
 
         return step
 

@@ -372,8 +372,12 @@ def make_train_step(
 
     dynamic_sh = dynamic_sh and cfg.do_sh_warmup  # without warmup sh_deg is already fixed
 
+    # `data` and `model_config` ride as jit ARGUMENTS (via the wrapper below),
+    # NOT closure constants: closure arrays are baked into the compile payload,
+    # and 40 cameras of 1.6 MP GT (~1 GB) overflow the axon tunnel's remote
+    # compiler request (HTTP 413) — observed in the round-3 refscale sequence.
     @functools.partial(jax.jit, static_argnames=("sh_deg",), donate_argnums=(0, 1))
-    def step(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
+    def _step(params, opt_state, mcfg, fdata, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
         loss_impl = compute_losses if jnp.ndim(cam_idx) == 0 else compute_losses_multi
 
         sh_band_w = None
@@ -383,13 +387,13 @@ def make_train_step(
             cur_deg = jnp.minimum(iteration // every + 1, cfg.sh_levels) - 1
             # weight-vector length = the MODEL's band count (banded eval runs
             # over the full stored basis); cur_deg caps at cfg.sh_levels.
-            sh_band_w = _sh.warmup_degree_weights(cur_deg, model_config.sh_levels)
+            sh_band_w = _sh.warmup_degree_weights(cur_deg, mcfg.sh_levels)
 
         def loss_fn(p):
             return loss_impl(
                 p,
-                model_config,
-                data,
+                mcfg,
+                fdata,
                 cam_idx,
                 iteration,
                 cfg,
@@ -405,12 +409,14 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, loss_dict
 
-    if dynamic_sh:
-        # sh_deg must not vary the cache key (it is ignored); pin it.
-        def step_dyn(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
-            return step(params, opt_state, cam_idx, iteration, 0, unbind_weight, pre_sh_dc)
+    def step(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
+        if dynamic_sh:
+            sh_deg = 0  # ignored; must not vary the cache key
+        return _step(
+            params, opt_state, model_config, data, cam_idx, iteration, sh_deg,
+            unbind_weight, pre_sh_dc,
+        )
 
-        return step_dyn
     return step
 
 

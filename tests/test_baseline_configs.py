@@ -125,7 +125,7 @@ def test_config5_topology_plus_sharded():
     uw = jnp.ones((n_g,), jnp.float32)
     pre = params.sh_dc[:, 0, :] * 0.0
     cam_idx = jnp.zeros((n_dev, 1), jnp.int32)
-    p1, _, loss = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
+    p1, _, loss, _caps = step(params, opt_state, cam_idx, jnp.int32(1), uw, pre)
     assert np.isfinite(float(loss))
     # the unbind deltas receive gradient under sharding
     assert float(jnp.abs(p1.delta_t - params.delta_t).max()) > 0
