@@ -399,6 +399,7 @@ def render(
     use_solid_surface: bool = False,
     means2d_dummy: jnp.ndarray | None = None,
     sh_band_w=None,
+    geom=None,
 ):
     """Render an image — render_image_gaussian_rasterizer (sugar_model.py:1065-1311),
     default path: compute_color_in_rasterizer=False (SH evaluated here),
@@ -407,16 +408,20 @@ def render(
     `point_colors` overrides the per-gaussian features (depth-as-color trick,
     refine.py:599-632). `use_solid_surface` raises small in-plane scales to their
     mean so the surface renders opaque (sugar_model.py:1230-1232).
-    `sh_band_w` enables the traced SH warmup (see points_rgb)."""
+    `sh_band_w` enables the traced SH warmup (see points_rgb).
+    `geom` = precomputed (positions, cov6) lets batched steps hoist the
+    camera-INDEPENDENT gaussian prep out of a lax.scan over cameras."""
     if sh_deg is None:
         sh_deg = config.sh_levels - 1
-    positions = gaussian_centers(params, config)
+    if geom is None:
+        positions = gaussian_centers(params, config)
+        cov = covariance6(params, config, use_solid_surface=use_solid_surface)
+    else:
+        positions, cov = geom
     if point_colors is None:
         colors = points_rgb(params, positions, camera.camera_center, sh_deg, sh_band_w)
     else:
         colors = point_colors
-
-    cov = covariance6(params, config, use_solid_surface=use_solid_surface)
 
     return rasterize(
         positions,
@@ -439,6 +444,7 @@ def render_rgbd(
     max_depth: float = 10.0,
     raster_config: RasterConfig = RasterConfig(),
     sh_band_w=None,
+    geom=None,
 ):
     """Fused RGB + depth render in ONE rasterizer pass (4 blend channels).
 
@@ -451,7 +457,7 @@ def render_rgbd(
     aux)."""
     if sh_deg is None:
         sh_deg = config.sh_levels - 1
-    positions = gaussian_centers(params, config)
+    positions = geom[0] if geom is not None else gaussian_centers(params, config)
     rgb = points_rgb(params, positions, camera.camera_center, sh_deg, sh_band_w)
     view = camera.view
     z = positions @ view[2, :3] + view[2, 3]
@@ -465,6 +471,7 @@ def render_rgbd(
         bg=bg4,
         raster_config=cfg4,
         point_colors=colors4,
+        geom=(positions, geom[1]) if geom is not None else None,
     )
     return img4[..., :3], img4[..., 3], aux
 

@@ -108,3 +108,18 @@ def assemble_image(tiles: jnp.ndarray, grid_x: int, grid_y: int, width: int, hei
     img = tiles.reshape(grid_y, grid_x, TILE, TILE, c)
     img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, c)
     return img[:height, :width]
+
+
+def assemble_image_cm(tiles_cm: jnp.ndarray, grid_x: int, grid_y: int, width: int, height: int):
+    """[T, C, P] channel-major tile blocks -> [C, H, W] in ONE relayout.
+
+    The pallas blend emits its raw state [T, 8, PIX]; assembling ALL maps
+    (color, final_T, n_contrib, depth) through this single transpose replaces
+    one [T,P,C]->[H,W,C] relayout PER map plus the [T,C,P]->[T,P,C] kernel
+    transpose (ROOFLINE r3: ~15 ms f+b of the step). Channel-major [C, H, W]
+    also keeps H*W on the lane axis — C=3..8 in the minor dim wastes 125 of
+    128 lanes on every downstream elementwise op."""
+    c = tiles_cm.shape[1]
+    img = tiles_cm.reshape(grid_y, grid_x, c, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(c, grid_y * TILE, grid_x * TILE)
+    return img[:, :height, :width]

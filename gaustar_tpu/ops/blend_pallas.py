@@ -479,7 +479,7 @@ def _auto_interpret(interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
-def blend_tiles_pallas_base(
+def blend_tiles_pallas_raw(
     pair_data,
     tile_start,
     tile_nchunks,
@@ -492,46 +492,19 @@ def blend_tiles_pallas_base(
     channels: int = 3,
     interpret: bool | None = None,
 ):
-    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, C, PIX],
-    final_T [T, PIX], n_contrib [T, PIX] int32), T = len(tile_start).
-    Differentiable in pair_data only.
-
-    channels=3 is the reference layout (config.h:15); channels=4 fuses a second
-    feature (view-space depth) into the same pass — the training step's RGB and
-    depth renders share identical blend weights, so one pass is exact.
+    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns the RAW kernel
+    state [T, 8, PIX]: cols 0-2 rgb, 3 final_T, 4 n_contrib (as f32), 5 done,
+    6 fused channel 3, 7 zero (see _state_col). Differentiable in pair_data
+    only — the custom VJP passes the raw cotangent straight to the backward
+    kernel (it reads only cols 0-3 and 6), so callers may slice/assemble the
+    raw block in ONE relayout instead of one per map (ROOFLINE: the 3-map
+    assemble + [T,C,P] transpose cost ~15 ms f+b of the 163 ms step).
 
     `tile_base` ([1] i32, traced) offsets tile ids for pixel-coordinate
     purposes: the gaussian-axis sharded path blends a STRIP of ceil(T/D) tiles
     per device (tile_start/tile_nchunks are the strip's slices; segment offsets
     still index the full pair_data)."""
-    out, _ = _fwd_impl(
-        pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
-    )
-    return out
-
-
-def blend_tiles_pallas(
-    pair_data,
-    tile_start,
-    tile_nchunks,
-    grid_x: int,
-    grid_y: int,
-    width: int,
-    height: int,
-    chunk: int = 256,
-    channels: int = 3,
-    interpret: bool | None = None,
-):
-    """Full-grid blend (tile_base = 0); see blend_tiles_pallas_base."""
-    return blend_tiles_pallas_base(
-        pair_data, tile_start, tile_nchunks, jnp.zeros((1,), jnp.int32),
-        grid_x, grid_y, width, height, chunk, channels, interpret,
-    )
-
-
-def _fwd_impl(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret):
-    assert channels in (3, 4), "pallas blend supports 3 (reference) or 4 (fused depth) channels"
-    raw = _blend_fwd_raw(
+    return _blend_fwd_raw(
         pair_data,
         tile_start.astype(jnp.int32),
         tile_nchunks.astype(jnp.int32),
@@ -544,38 +517,20 @@ def _fwd_impl(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, wi
         _auto_interpret(interpret),
         tile_base=tile_base,
     )
-    if channels == 3:
-        color = raw[:, 0:3, :]
-    else:
-        color = jnp.concatenate([raw[:, 0:3, :], raw[:, 6:7, :]], axis=1)
-    final_t = raw[:, 3, :]
-    ncontrib = raw[:, 4, :].astype(jnp.int32)
-    return (color, final_t, ncontrib), raw
 
 
-def _blend_fwd_rule(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret):
-    out, raw = _fwd_impl(
+def _raw_fwd_rule(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret):
+    raw = blend_tiles_pallas_raw(
         pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
     )
-    return out, (pair_data, tile_start, tile_nchunks, tile_base, raw)
+    return raw, (pair_data, tile_start, tile_nchunks, tile_base, raw)
 
 
-def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res, cts):
+def _raw_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res, ct):
     pair_data, tile_start, tile_nchunks, tile_base, raw = res
-    d_color, d_final_t, _ = cts
-    zeros1 = jnp.zeros_like(raw[:, 0:1, :])
-    if channels == 3:
-        dout = jnp.concatenate(
-            [d_color, d_final_t[:, None, :], jnp.zeros_like(raw[:, 4:8, :])], axis=1
-        )
-    else:
-        # Column layout mirrors the forward state: 0-2 rgb, 3 T, 6 channel 3.
-        dout = jnp.concatenate(
-            [d_color[:, 0:3, :], d_final_t[:, None, :], zeros1, zeros1,
-             d_color[:, 3:4, :], zeros1],
-            axis=1,
-        )
-    # Backward only needs chunks up to the last contributor in each tile.
+    # The backward kernel reads only dstate cols 0-3 and 6 (dC_cols + dT); the
+    # raw cotangent already has that exact layout. Cols 4/5/7 (n_contrib, done,
+    # zero) are integral bookkeeping — their cotangents are structurally zero.
     max_nc = jnp.max(raw[:, 4, :], axis=1)
     tile_used = jnp.minimum(
         jnp.ceil(max_nc / chunk).astype(jnp.int32), tile_nchunks.astype(jnp.int32)
@@ -585,7 +540,7 @@ def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, r
         tile_start.astype(jnp.int32),
         tile_used,
         raw,
-        dout,
+        ct,
         grid_x,
         grid_y,
         chunk,
@@ -611,4 +566,59 @@ def _blend_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, r
     return grads, d_ts, d_tn, d_tb
 
 
-blend_tiles_pallas_base.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+blend_tiles_pallas_raw.defvjp(_raw_fwd_rule, _raw_bwd_rule)
+
+
+def blend_tiles_pallas_base(
+    pair_data,
+    tile_start,
+    tile_nchunks,
+    tile_base,
+    grid_x: int,
+    grid_y: int,
+    width: int,
+    height: int,
+    chunk: int = 256,
+    channels: int = 3,
+    interpret: bool | None = None,
+):
+    """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, C, PIX],
+    final_T [T, PIX], n_contrib [T, PIX] int32), T = len(tile_start).
+    Differentiable in pair_data only. Sliced view of blend_tiles_pallas_raw —
+    hot callers (ops/rasterizer.py) consume the raw block directly.
+
+    channels=3 is the reference layout (config.h:15); channels=4 fuses a second
+    feature (view-space depth) into the same pass — the training step's RGB and
+    depth renders share identical blend weights, so one pass is exact."""
+    assert channels in (3, 4), "pallas blend supports 3 (reference) or 4 (fused depth) channels"
+    raw = blend_tiles_pallas_raw(
+        pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
+    )
+    if channels == 3:
+        color = raw[:, 0:3, :]
+    else:
+        color = jnp.concatenate([raw[:, 0:3, :], raw[:, 6:7, :]], axis=1)
+    final_t = raw[:, 3, :]
+    ncontrib = raw[:, 4, :].astype(jnp.int32)
+    return color, final_t, ncontrib
+
+
+def blend_tiles_pallas(
+    pair_data,
+    tile_start,
+    tile_nchunks,
+    grid_x: int,
+    grid_y: int,
+    width: int,
+    height: int,
+    chunk: int = 256,
+    channels: int = 3,
+    interpret: bool | None = None,
+):
+    """Full-grid blend (tile_base = 0); see blend_tiles_pallas_base."""
+    return blend_tiles_pallas_base(
+        pair_data, tile_start, tile_nchunks, jnp.zeros((1,), jnp.int32),
+        grid_x, grid_y, width, height, chunk, channels, interpret,
+    )
+
+

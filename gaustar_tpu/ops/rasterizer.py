@@ -95,13 +95,22 @@ def rasterize(
             pair_data, binned, grid_x, grid_y, config.max_per_tile, config.channels
         )
         color_t, final_t_t, ncontrib_t = tiles.color, tiles.final_T, tiles.n_contrib
+        color = blend_jax.assemble_image(color_t, grid_x, grid_y, W, H)
+        final_t = blend_jax.assemble_image(final_t_t[..., None], grid_x, grid_y, W, H)[..., 0]
+        n_contrib = blend_jax.assemble_image(
+            ncontrib_t[..., None].astype(jnp.int32), grid_x, grid_y, W, H
+        )[..., 0]
     elif impl == "pallas":
-        from gaustar_tpu.ops.blend_pallas import blend_tiles_pallas
+        from gaustar_tpu.ops.blend_pallas import blend_tiles_pallas_raw
 
-        color_cp, final_t_t, ncontrib_t = blend_tiles_pallas(
+        # Raw kernel state [T, 8, P] assembled to [8, H, W] in ONE relayout
+        # (color, final_T, n_contrib, fused depth all at once) — see
+        # assemble_image_cm. Slices of the [8, H, W] block are cheap views.
+        raw = blend_tiles_pallas_raw(
             pair_data,
             binned.tile_start,
             binned.tile_nchunks,
+            jnp.zeros((1,), jnp.int32),
             grid_x,
             grid_y,
             W,
@@ -109,15 +118,15 @@ def rasterize(
             config.chunk,
             config.channels,
         )
-        color_t = color_cp.transpose(0, 2, 1)  # [T, C, P] -> [T, P, C]
+        maps = blend_jax.assemble_image_cm(raw, grid_x, grid_y, W, H)  # [8, H, W]
+        if config.channels == 3:
+            color = maps[0:3].transpose(1, 2, 0)
+        else:
+            color = jnp.concatenate([maps[0:3], maps[6:7]], axis=0).transpose(1, 2, 0)
+        final_t = maps[3]
+        n_contrib = maps[4].astype(jnp.int32)
     else:
         raise ValueError(f"unknown rasterizer impl: {impl}")
-
-    color = blend_jax.assemble_image(color_t, grid_x, grid_y, W, H)
-    final_t = blend_jax.assemble_image(final_t_t[..., None], grid_x, grid_y, W, H)[..., 0]
-    n_contrib = blend_jax.assemble_image(
-        ncontrib_t[..., None].astype(jnp.int32), grid_x, grid_y, W, H
-    )[..., 0]
 
     img = color + final_t[..., None] * jnp.asarray(bg, jnp.float32)
     aux = RasterAux(

@@ -75,6 +75,11 @@ class RefineConfig:
     loose_bind_factor_r: float = 1.0
     unbind_threshold: int = 100  # min fully-flagged gaussians to loose-bind (refine.py:720-737)
     do_sh_warmup: bool = True
+    # Multi-camera batch lowering: "unroll" re-traces compute_losses per camera
+    # (XLA CSE shares the camera-independent subgraphs; compile grows ~linearly
+    # in B), "scan" is a lax.scan with hoisted geometry/mesh losses (flat
+    # compile; the right choice at B >= ~4). Values/grads identical.
+    batch_impl: str = "unroll"
 
 
 class FrameData(NamedTuple):
@@ -245,6 +250,27 @@ def losses_after_render(
     by the single-device path (compute_losses) and the gaussian-axis sharded
     path (parallel/gauss2d.py), so their loss math is one implementation."""
     loss, loss_dict = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth)
+    s_loss, s_dict = shared_losses(
+        params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc
+    )
+    loss_dict.update(s_dict)
+    return loss + s_loss, loss_dict
+
+
+def shared_losses(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    iteration,
+    cfg: RefineConfig,
+    unbind_weight=None,
+    pre_sh_dc=None,
+):
+    """The CAMERA-INDEPENDENT loss terms (sh_reg + mesh + unbind + opacity
+    regularizers): batched steps compute these ONCE outside the per-camera
+    scan/unroll (compute_losses_multi_scan)."""
+    loss = jnp.float32(0.0)
+    loss_dict = {}
 
     # --- SH regularization to previous frame (refine.py:663-669) ---
     if cfg.use_sh_reg and pre_sh_dc is not None:
@@ -350,6 +376,64 @@ def compute_losses_multi(
     return b_total * inv, b_dict
 
 
+def compute_losses_multi_scan(
+    params: sugar.SuGaRParams,
+    model_config: sugar.SuGaRConfig,
+    data: FrameData,
+    cam_idxs,
+    iteration,
+    cfg: RefineConfig,
+    raster_cfg: RasterConfig,
+    sh_deg: int,
+    unbind_weight=None,
+    pre_sh_dc=None,
+    sh_band_w=None,
+):
+    """compute_losses_multi with the camera batch as a lax.scan, not a
+    trace-time unroll: compile time and HLO size stay FLAT in B (the unrolled
+    form's program grows linearly — full-step compile is already ~6 min over
+    the axon tunnel, so B=8-16 per device is only reachable this way).
+
+    The camera-INDEPENDENT work is hoisted: gaussian centers + covariances
+    (sugar.render's `geom` hook) and the mesh/reg losses (shared_losses) are
+    computed once outside the scan; XLA CSE did this implicitly for the
+    unrolled form. Values and gradients are identical to compute_losses_multi
+    (tests/test_multi_camera.py)."""
+    positions = sugar.gaussian_centers(params, model_config)
+    cov = sugar.covariance6(params, model_config)
+    geom = (positions, cov)
+
+    def body(carry, cam_idx):
+        camera = index_camera(data.cameras, cam_idx)
+        img, pred_depth, aux = sugar.render_rgbd(
+            params,
+            model_config,
+            camera,
+            bg=cfg.bg_color,
+            sh_deg=sh_deg,
+            max_depth=cfg.max_depth,
+            raster_config=raster_cfg,
+            sh_band_w=sh_band_w,
+            geom=geom,
+        )
+        loss_b, dict_b = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth)
+        return carry, (loss_b, dict_b, aux.num_pairs, aux.num_padded)
+
+    _, (losses_b, dicts_b, num_pairs, num_padded) = jax.lax.scan(
+        body, None, cam_idxs
+    )
+    loss = losses_b.mean()
+    loss_dict = {k: v.mean() for k, v in dicts_b.items()}
+    loss_dict["num_pairs"] = num_pairs.max()
+    loss_dict["num_padded"] = num_padded.max()
+
+    s_loss, s_dict = shared_losses(
+        params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc
+    )
+    loss_dict.update(s_dict)
+    return loss + s_loss, loss_dict
+
+
 def make_train_step(
     model_config: sugar.SuGaRConfig,
     data: FrameData,
@@ -378,7 +462,12 @@ def make_train_step(
     # compiler request (HTTP 413) — observed in the round-3 refscale sequence.
     @functools.partial(jax.jit, static_argnames=("sh_deg",), donate_argnums=(0, 1))
     def _step(params, opt_state, mcfg, fdata, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
-        loss_impl = compute_losses if jnp.ndim(cam_idx) == 0 else compute_losses_multi
+        if jnp.ndim(cam_idx) == 0:
+            loss_impl = compute_losses
+        elif cfg.batch_impl == "scan":
+            loss_impl = compute_losses_multi_scan
+        else:
+            loss_impl = compute_losses_multi
 
         sh_band_w = None
         if dynamic_sh:

@@ -111,3 +111,55 @@ def test_train_step_accepts_camera_batch():
     )
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(p2.points)).all()
+
+
+def test_scan_batch_matches_unroll():
+    """compute_losses_multi_scan: identical values AND gradients to the
+    trace-time-unrolled compute_losses_multi (flat-compile path for B >= 4)."""
+    from gaustar_tpu.train.refine import compute_losses_multi_scan
+
+    params, config, data, rcfg = _scene()
+    cfg = RefineConfig(num_iterations=100, do_sh_warmup=False, use_sh_reg=True)
+    it = jnp.int32(5)
+    uw = jnp.zeros((params.scales.shape[0],), jnp.float32)
+    pre = params.sh_dc[:, 0, :] * 0.0
+    idxs = jnp.asarray([0, 1, 2], jnp.int32)
+
+    lu, du = compute_losses_multi(params, config, data, idxs, it, cfg, rcfg, 2, uw, pre)
+    ls, ds = compute_losses_multi_scan(params, config, data, idxs, it, cfg, rcfg, 2, uw, pre)
+    np.testing.assert_allclose(float(ls), float(lu), rtol=1e-6)
+    assert int(ds["num_pairs"]) == int(du["num_pairs"])
+    assert int(ds["num_padded"]) == int(du["num_padded"])
+    for k in du:
+        np.testing.assert_allclose(
+            float(ds[k]), float(du[k]), rtol=1e-5, atol=1e-7, err_msg=k
+        )
+
+    gu = jax.grad(
+        lambda p: compute_losses_multi(p, config, data, idxs, it, cfg, rcfg, 2, uw, pre)[0]
+    )(params)
+    gs = jax.grad(
+        lambda p: compute_losses_multi_scan(p, config, data, idxs, it, cfg, rcfg, 2, uw, pre)[0]
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gu), jax.tree_util.tree_leaves(gs)):
+        # atol 1e-6: scan reassociates the f32 mean (measured worst diff 6e-7
+        # on a grad of magnitude 1.3 — accumulation-order noise, not a bug).
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-5, atol=1e-6)
+
+
+def test_train_step_scan_batch_impl():
+    from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
+    from gaustar_tpu.train.refine import make_train_step
+
+    params, config, data, rcfg = _scene()
+    cfg = RefineConfig(num_iterations=100, do_sh_warmup=False, batch_impl="scan")
+    optimizer = make_sugar_optimizer(OptimizationParams(iterations=100), 1.0)
+    opt_state = optimizer.init(params)
+    step = make_train_step(config, data, cfg, rcfg, optimizer)
+    uw = jnp.zeros((params.scales.shape[0],), jnp.float32)
+    pre = params.sh_dc[:, 0, :] * 0.0
+    p2, o2, loss, ld = step(
+        params, opt_state, jnp.asarray([0, 2], jnp.int32), jnp.int32(1), 0, uw, pre
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(p2.points)).all()
