@@ -82,20 +82,26 @@ def bin_gaussians(
     # whenever the filled value is non-decreasing), keeping only ONE
     # pair-scale scatter (the padded-slot placement).
 
-    # Depth-rank trick: sort the N gaussians by depth once (stable => ties break
-    # by gaussian index, identical to the CUDA pair sort's stable radix tie
-    # order, rasterizer_impl.cu:277-303), emit pairs in that order, then a
-    # single-key stable sort by tile id preserves depth order within each tile.
-    # Payloads ride the sort: per-gaussian fields need no post-sort gather.
+    # Depth-rank trick: sort the N gaussians by (is-culled, depth) once (stable
+    # => ties break by gaussian index, identical to the CUDA pair sort's stable
+    # radix tie order, rasterizer_impl.cu:277-303), emit pairs in that order,
+    # then a single-key stable sort by tile id preserves depth order within each
+    # tile. Payloads ride the sort: per-gaussian fields need no post-sort
+    # gather. The leading is-culled key moves zero-touched gaussians to the END
+    # of the rank order — they emit no pairs, so pair order is unchanged, but
+    # now every OWNING rank's segment start `offsets[r]` is distinct, which
+    # collapses the per-pair attribute fills below to ONE scatter (the round-3
+    # trace put the previous four rank-packed scatter+cummax fills at ~21 ms).
     iota_n = jnp.arange(n, dtype=jnp.int32)
     rect_code_all = (
         g.rect_min[:, 0]
         | (g.rect_min[:, 1] << 10)
         | ((g.rect_max[:, 0] - g.rect_min[:, 0]) << 20)
     ).astype(jnp.int32)  # 10 bits each: <= 1023 tiles per axis (16k x 16k px)
-    _, touched, rect_code, order = jax.lax.sort(
-        (g.depth, g.tiles_touched.astype(jnp.int32), rect_code_all, iota_n),
-        num_keys=1,
+    touched_all = g.tiles_touched.astype(jnp.int32)
+    _, _, touched, rect_code, order = jax.lax.sort(
+        ((touched_all == 0).astype(jnp.int32), g.depth, touched_all, rect_code_all, iota_n),
+        num_keys=2,
         is_stable=True,
     )
     # Inverse permutation (original id -> rank): the depth-order row permute's
@@ -107,35 +113,29 @@ def bin_gaussians(
     offsets = jnp.cumsum(touched) - touched  # exclusive prefix sum
     total = offsets[-1] + touched[-1]
 
-    # Per-pair gaussian attributes WITHOUT pair-scale gathers: scatter each
-    # gaussian's values at its segment start, then forward-fill with cummax.
-    # - off_p (the owning gaussian's first pair index) is non-decreasing, so the
-    #   fill is exact; colliding starts (touched == 0 gaussians) scatter equal
-    #   values (.max keeps the later gaussian — the one that owns the pairs,
-    #   since zero-touched gaussians own nothing).
-    # - the non-monotone rect fields are packed under the strictly-increasing
-    #   depth rank, (rank << 10 | field), which keeps each int32 key monotone.
-    #   Int32 limits rank to 21 bits: fine for <= 2M gaussians per device
-    #   (larger scenes shard the gaussian axis, parallel/gauss_shard.py).
-    assert n < (1 << 21), "bin_gaussians: > 2M gaussians; shard the gaussian axis"
+    # Per-pair gaussian attributes from ONE pair-scale scatter: every owning
+    # rank seeds `rect_code + 1` at its (distinct) segment start; everything
+    # else derives from the seed array by scans:
+    #   - rank_p: owners are a prefix of the rank order (culled ranks sort to
+    #     the end), so #seeds at positions <= p equals owner_rank + 1;
+    #   - off_p (owner's first pair index) = position of the last seed <= p,
+    #     a cummax over seeded iota;
+    #   - rect fields = the last seed's value, a "latest non-zero" fill
+    #     (associative: f(a, b) = b if b else a).
+    # (Measured negative results, round 3: packing the old four fills into one
+    # [N, 4] row scatter was SLOWER — 4-lane minor dim pads to 128 lanes.)
     p = jnp.arange(max_pairs, dtype=jnp.int32)
-    rank = jnp.arange(n, dtype=jnp.int32)
-
-    # NOTE (measured, round 3): packing the four fills into one [N, 4] row
-    # scatter + transposed cummax is SLOWER (37.9 vs 31.8 ms for the stage) —
-    # the 4-lane minor dim pads to 128 lanes in the [max_pairs, 4] target and
-    # multiplies the scatter's tile traffic; four full-lane [max_pairs] scalar
-    # scatters win.
-    def _ffill(values):
-        seed = jnp.zeros((max_pairs,), jnp.int32).at[offsets].max(values, mode="drop")
-        return jax.lax.cummax(seed)
-
-    off_p = _ffill(offsets)
-    rx0 = (_ffill((rank << 10) | (rect_code & 0x3FF))) & 0x3FF
-    ry0 = (_ffill((rank << 10) | ((rect_code >> 10) & 0x3FF))) & 0x3FF
-    key_rw = _ffill((rank << 10) | (rect_code >> 20))
-    gi = jnp.clip(key_rw >> 10, 0, n - 1)
-    rw_safe = jnp.maximum(key_rw & 0x3FF, 1)
+    owner_off = jnp.where(touched > 0, offsets, max_pairs)  # culled -> dropped
+    rect_seed = (
+        jnp.zeros((max_pairs,), jnp.int32).at[owner_off].set(rect_code + 1, mode="drop")
+    )
+    started = rect_seed > 0
+    gi = jnp.clip(jnp.cumsum(started.astype(jnp.int32)) - 1, 0, n - 1)
+    off_p = jax.lax.cummax(jnp.where(started, p, 0))
+    key = jax.lax.associative_scan(lambda a, b: jnp.where(b > 0, b, a), rect_seed) - 1
+    rx0 = key & 0x3FF
+    ry0 = (key >> 10) & 0x3FF
+    rw_safe = jnp.maximum((key >> 20) & 0x3FF, 1)
 
     k = p - off_p
     dy = k // rw_safe

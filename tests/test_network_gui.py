@@ -2,6 +2,7 @@
 
 import json
 import socket
+import time
 import threading
 
 import numpy as np
@@ -53,11 +54,14 @@ def test_protocol_roundtrip():
     def render_fn(cam, scaling):
         return np.full((cam.height, cam.width, 3), 0.5, np.float32)
 
-    # poll until the client has connected and been served
-    for _ in range(100):
-        cont = gui.poll(render_fn, keep_alive_default=False, source_path="/data/x")
-        if "verify" in results:
-            break
+    # poll until the client has connected and been served; under a loaded host
+    # the client thread can take a while to connect, so poll on a time deadline
+    # (not a fixed count) with a small sleep when nothing has arrived yet.
+    deadline = time.monotonic() + 20.0
+    while "verify" not in results and time.monotonic() < deadline:
+        gui.poll(render_fn, keep_alive_default=False, source_path="/data/x")
+        if "verify" not in results:
+            time.sleep(0.01)
     t.join(timeout=5)
     assert results["verify"] == "/data/x"
     assert len(results["img"]) == 32 * 24 * 3
