@@ -55,6 +55,7 @@ def load_sugar(path: str):
         max_scale=meta["max_scale"],
         loose_bind=bool(meta["loose_bind"]),
     )
+    config = sugar.with_gather_tables(params, config)
     return params, config, int(data.get("iteration", 0))
 
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaustar_tpu.cameras import Camera
+from gaustar_tpu.ops import segment
 from gaustar_tpu.ops import sh as sh_ops
 from gaustar_tpu.ops.rasterizer import RasterConfig, rasterize
 from gaustar_tpu.utils.general import inverse_sigmoid, matrix_to_quaternion, normalize, quaternion_to_matrix
@@ -94,6 +95,11 @@ class SuGaRConfig:
     min_scale: float | None = dataclasses.field(metadata=dict(static=True))
     max_scale: float | None = dataclasses.field(metadata=dict(static=True))
     loose_bind: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Optional (order, offsets) backward tables for the verts[faces] gather
+    # (ops/segment.py): topology is static per frame, so the gather's VJP can
+    # be a precomputed segment-sum instead of a ~7 ms/step scatter-add. None
+    # falls back to the plain gather (same values, XLA's default VJP).
+    face_gather: Any = dataclasses.field(default=None)
 
 
 def init_sugar(
@@ -157,8 +163,20 @@ def init_sugar(
         sh_levels=sh_levels,
         min_scale=min_scale,
         max_scale=max_scale,
+        face_gather=segment.gather_tables(faces, len(verts)),
     )
     return params, config
+
+
+def with_gather_tables(params: SuGaRParams, config: SuGaRConfig) -> SuGaRConfig:
+    """Attach the static verts[faces] backward tables (ops/segment.py) to a
+    config built without them (checkpoint loads, hand-built configs)."""
+    return dataclasses.replace(
+        config,
+        face_gather=segment.gather_tables(
+            np.asarray(config.faces), int(params.points.shape[0])
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +197,9 @@ def _face_vert_comps(params: SuGaRParams, config: SuGaRConfig):
     batched 3x3 matmuls pad their minor dims into (8, 128) tiles — measured
     4.5x slower for the whole primitive stage (examples/profile_candidates.py)."""
     f = config.faces.shape[0]
-    fv = params.points[config.faces.reshape(-1)].reshape(f, 3, 3)
+    fv = segment.gather_rows(
+        params.points, config.faces.reshape(-1), config.face_gather
+    ).reshape(f, 3, 3)
     return [[fv[:, k, d] for d in range(3)] for k in range(3)]
 
 

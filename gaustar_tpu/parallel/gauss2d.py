@@ -312,6 +312,11 @@ def make_gauss2d_train_step(
     leaves shard over the gauss axis, `points` stays replicated."""
     d_gauss = mesh.shape[gauss_axis]
     assert_shardable(model_config, d_gauss)
+    # Static gather tables (ops/segment.py) are a single-device backward
+    # optimization; under gauss-sharding faces are sharded, so strip them and
+    # let the sharded path use the plain gather (matches the spec pytrees).
+    model_config = dataclasses.replace(model_config, face_gather=None)
+    data = data._replace(adj_gather=None)
     p_specs = _params_specs(gauss_axis)
     c_specs = _config_specs(model_config, gauss_axis)
     c_full_specs = _config_specs(model_config, gauss_axis)

@@ -63,6 +63,7 @@ def _frame_data_specs(data: FrameData) -> FrameData:
         adj_faces=P(),
         face_edge_ref=opt(data.face_edge_ref),
         face_edge_w=opt(data.face_edge_w),
+        adj_gather=(P(), P()) if data.adj_gather is not None else None,
     )
 
 

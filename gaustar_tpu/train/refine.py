@@ -98,16 +98,26 @@ class FrameData(NamedTuple):
     # verts[edges] gather + backward scatter (~7 ms/step at reference scale).
     face_edge_ref: Any = None  # [F, 3]
     face_edge_w: Any = None  # [F, 3]
+    # Optional static backward tables for the normals[adj_faces] gather
+    # (ops/segment.py): segment-sum VJP instead of a scatter-add.
+    adj_gather: Any = None  # (order [2*E_int], offsets [F+1])
 
 
 def with_face_edge_tables(data: "FrameData", faces) -> "FrameData":
-    """Attach the fused edge-iso tables derived from the frame's topology."""
+    """Attach the fused edge-iso tables derived from the frame's topology, and
+    the normals[adj_faces] backward tables (ops/segment.py)."""
+    from gaustar_tpu.ops.segment import gather_tables
+
     ref, w = losses.face_edge_tables(
         np.asarray(faces), np.asarray(data.edges), np.asarray(data.ref_edge_len)
     )
     import jax.numpy as _jnp
 
-    return data._replace(face_edge_ref=_jnp.asarray(ref), face_edge_w=_jnp.asarray(w))
+    return data._replace(
+        face_edge_ref=_jnp.asarray(ref),
+        face_edge_w=_jnp.asarray(w),
+        adj_gather=gather_tables(np.asarray(data.adj_faces), len(np.asarray(faces))),
+    )
 
 
 def compute_margins(cx, cy, width, height) -> np.ndarray:
@@ -279,9 +289,12 @@ def shared_losses(
         loss_dict["sh_reg_loss"] = sh_reg
 
     # --- mesh losses (refine.py:678-718) ---
+    # The verts[faces] gather is shared by all three losses AND the SuGaR
+    # primitives (XLA CSE); its backward uses the static segment-sum tables.
     verts, faces = sugar.surface_mesh(params, model_config)
+    ft = model_config.face_gather
     nc = cfg.normal_consistency_factor * losses.mesh_normal_consistency_loss(
-        verts, faces, data.adj_faces
+        verts, faces, data.adj_faces, tables=ft, adj_tables=data.adj_gather
     )
     loss = loss + nc
     loss_dict["nc_loss"] = nc
@@ -289,7 +302,7 @@ def shared_losses(
     edge_on = iteration > cfg.edge_iso_from
     if data.face_edge_ref is not None:
         edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss_faces(
-            verts, faces, data.face_edge_ref, data.face_edge_w
+            verts, faces, data.face_edge_ref, data.face_edge_w, tables=ft
         )
     else:
         edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss(
@@ -299,7 +312,9 @@ def shared_losses(
     loss_dict["edge_loss"] = edge
 
     area_on = iteration > cfg.area_iso_from
-    area = cfg.area_iso_factor * losses.mesh_area_isometry_loss(verts, faces, data.ref_area)
+    area = cfg.area_iso_factor * losses.mesh_area_isometry_loss(
+        verts, faces, data.ref_area, tables=ft
+    )
     loss = loss + jnp.where(area_on, area, 0.0)
     loss_dict["area_loss"] = area
 
