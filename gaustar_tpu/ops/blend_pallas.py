@@ -215,22 +215,32 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *,
         included = contrib & (t_incl >= 1e-4) & notdone
         t_before = T * E / om0
         w = jnp.where(included, a0 * t_before, 0.0)  # [PIX, chunk]
-        for ch in range(channels):
-            col = _state_col(ch)
-            state[:, col : col + 1] += jnp.sum(
-                d[6 + ch : 7 + ch, :] * w, axis=1, keepdims=True
-            )
+        # Channel accumulation as ONE MXU contraction (sums[p, ch] =
+        # sum_j w[p, j] * feat[ch, j]) instead of `channels` cross-lane
+        # reductions — the MXU is otherwise idle in this kernel and lane-axis
+        # reductions are the VPU's most expensive shape (ROOFLINE.md).
+        feats = d[6 : 6 + channels, :]  # [C, chunk]
+        sums = lax.dot_general(
+            w, feats, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [PIX, C]
+        state[:, 0 : min(channels, 3)] += sums[:, 0 : min(channels, 3)]
+        if channels == 4:
+            state[:, 6:7] += sums[:, 3:4]
         pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a0.shape, 1)).astype(jnp.float32)
         state[:, 4:5] = jnp.maximum(
             state[:, 4:5], jnp.max(jnp.where(included, pos, 0.0), axis=1, keepdims=True)
         )
-        flag_f = flag.astype(jnp.float32)
-        any_flag = jnp.max(flag_f, axis=1, keepdims=True)
+        # t_held > 0 <=> any pair flagged: the first flagged position has
+        # t_incl/om0 = t_before >= 1e-4 * 0.01 (one factor past the crossing,
+        # om0 >= 0.01 where contrib) — far above f32 underflow. Later flagged
+        # positions may underflow to 0 but only feed the max. Saves the
+        # separate any-flag lane reduction.
         t_held = jnp.max(jnp.where(flag, t_incl / om0, 0.0), axis=1, keepdims=True)
+        any_flag = t_held > 0.0
         t_all = T * E[:, chunk - 1 : chunk]
-        t_new = jnp.where(any_flag > 0.0, t_held, t_all)
+        t_new = jnp.where(any_flag, t_held, t_all)
         state[:, 3:4] = jnp.where(done, T, t_new)
-        done_new = jnp.maximum(state[:, 5:6], any_flag)
+        done_new = jnp.maximum(state[:, 5:6], any_flag.astype(jnp.float32))
         state[:, 5:6] = done_new
         return (i + 1, jnp.all(done_new > 0.0))
 
@@ -334,7 +344,35 @@ def _bwd_tile(
     # the C per-channel suffix sums into ONE suffix sum of w*u. backward.cu
     # pays the same C-fold cost per thread (accum_rec per channel); the
     # contraction is the closed-form equivalent.
-    dC_cols = [dstate[:, _state_col(ch) : _state_col(ch) + 1] for ch in range(channels)]
+    dC_pix = jnp.concatenate(
+        [dstate[:, _state_col(ch) : _state_col(ch) + 1] for ch in range(channels)],
+        axis=1,
+    )  # [PIX, C]
+
+    # MXU offloads, hoisted per tile (the MXU is idle in this kernel and
+    # lane-axis reductions/scans are the VPU's most expensive shapes):
+    #   sfx   — suffix-sum matrix: s_ge = wu @ sfx, sfx[j, i] = (j >= i);
+    #   Bmat  — pixel-polynomial basis {1, px, py, px^2, px*py, py^2} in
+    #           TILE-CENTERED coordinates. Every per-pair gradient reduction
+    #           is a polynomial moment of q = g_exp * dL/da against this basis
+    #           because dx = x - px is separable:
+    #             sum_p q*dx   = xc*S1 - Sx
+    #             sum_p q*dx^2 = xc^2*S1 - 2*xc*Sx + Sxx   (etc.)
+    #           so ONE [6, PIX] @ [PIX, chunk] matmul replaces ten sublane
+    #           reductions + their [PIX, chunk] summand builds. Recentering
+    #           bounds |xc| by (radius + TILE), keeping the f32 expansion's
+    #           cancellation error ~1e-6 relative (vs ~1e-3 uncentered at
+    #           x ~ 1600 px).
+    iota_j = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    iota_i = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    sfx = (iota_j >= iota_i).astype(jnp.float32)
+    cx0 = ((t % grid_x) * TILE + TILE // 2).astype(jnp.float32)
+    cy0 = ((t // grid_x) * TILE + TILE // 2).astype(jnp.float32)
+    pxc = px - cx0  # [PIX, 1]
+    pyc = py - cy0
+    Bmat = jnp.concatenate(
+        [jnp.ones_like(pxc), pxc, pyc, pxc * pxc, pxc * pyc, pyc * pyc], axis=1
+    ).T  # [6, PIX]
 
     # Reverse-walk accumulators in VMEM scratch (canonical layouts across the
     # loop): col 0 = P_after (product of (1-a) behind the cursor), col 1 =
@@ -372,7 +410,7 @@ def _bwd_tile(
         read_dma(j, slot).wait()
         d = buf[slot, :, :]
         p_after = acc[:, 0:1]
-        a0, contrib, g_exp, dx, dy = _chunk_alphas(d, px, py)
+        a0, contrib, g_exp, _dx, _dy = _chunk_alphas(d, px, py)
         pos = (i * chunk + 1 + lax.broadcasted_iota(jnp.int32, a0.shape, 1)).astype(jnp.float32)
         included = contrib & (pos <= n_c)  # CUDA: contributor >= last_contributor -> skip
         a = jnp.where(included, a0, 0.0)
@@ -382,30 +420,50 @@ def _bwd_tile(
         t_i = t_final / (sp * p_after)  # transmittance before pair i
         w = a * t_i
 
-        # u = sum_ch c_ch * dC_ch per (pixel, pair): one suffix sum serves every
-        # channel (see the channel-collapse note above).
-        u = dC_cols[0] * d[6:7, :]
-        for ch in range(1, channels):
-            u = u + dC_cols[ch] * d[6 + ch : 7 + ch, :]
+        # u = sum_ch c_ch * dC_ch per (pixel, pair) — one [PIX, C] @ [C, chunk]
+        # MXU contraction; one suffix sum then serves every channel (see the
+        # channel-collapse note above), itself an MXU matmul against sfx whose
+        # i=0 column doubles as the full-chunk sum for the acc carry.
+        u = lax.dot_general(
+            dC_pix, d[6 : 6 + channels, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         wu = w * u
-        s_ge = _suffix_sum_incl(wu)
+        s_ge = lax.dot_general(
+            wu, sfx, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         s_gt_u = s_ge - wu + acc[:, 1:2]
         dL_da = -(t_final / om) * dT + (u * t_i - s_gt_u / om)
-        g_rgb = [
-            jnp.sum(w * dC_cols[ch], axis=0, keepdims=True) for ch in range(channels)
-        ]
-        acc[:, 1:2] += jnp.sum(wu, axis=1, keepdims=True)
+        acc[:, 1:2] += s_ge[:, 0:1]
         dL_da = jnp.where(included, dL_da, 0.0)
 
-        op = d[5:6, :]
-        dG = op * dL_da  # d alpha / d G ignores the 0.99 clamp, like backward.cu:503
-        gg = dG * g_exp
-        g_x = jnp.sum(-gg * (d[2:3, :] * dx + d[3:4, :] * dy), axis=0, keepdims=True)
-        g_y = jnp.sum(-gg * (d[4:5, :] * dy + d[3:4, :] * dx), axis=0, keepdims=True)
-        g_A = jnp.sum(-0.5 * g_exp * dx * dx * dG, axis=0, keepdims=True)
-        g_B = jnp.sum(-g_exp * dx * dy * dG, axis=0, keepdims=True)
-        g_C = jnp.sum(-0.5 * g_exp * dy * dy * dG, axis=0, keepdims=True)
-        g_op = jnp.sum(g_exp * dL_da, axis=0, keepdims=True)
+        # Per-pair gradients as polynomial moments (see the Bmat note above):
+        # q = g_exp * dL/da; S* = [6, chunk] basis moments; dx = xc - pxc.
+        q = g_exp * dL_da
+        S = lax.dot_general(
+            Bmat, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # rows: S1, Sx, Sy, Sxx, Sxy, Syy
+        S1, Sx, Sy = S[0:1, :], S[1:2, :], S[2:3, :]
+        Sxx, Sxy, Syy = S[3:4, :], S[4:5, :], S[5:6, :]
+        xc = d[0:1, :] - cx0
+        yc = d[1:2, :] - cy0
+        m_x = xc * S1 - Sx
+        m_y = yc * S1 - Sy
+        m_xx = xc * xc * S1 - 2.0 * xc * Sx + Sxx
+        m_xy = xc * yc * S1 - xc * Sy - yc * Sx + Sxy
+        m_yy = yc * yc * S1 - 2.0 * yc * Sy + Syy
+        A, B, C_ = d[2:3, :], d[3:4, :], d[4:5, :]
+        op = d[5:6, :]  # d alpha / d G ignores the 0.99 clamp, like backward.cu:503
+        g_x = -op * (A * m_x + B * m_y)
+        g_y = -op * (C_ * m_y + B * m_x)
+        g_A = -0.5 * op * m_xx
+        g_B = -op * m_xy
+        g_C = -0.5 * op * m_yy
+        g_op = S1
+        # g_rgb[ch] = sum_p w * dC_ch — one more PIX-contraction on the MXU.
+        g_feat = lax.dot_general(
+            dC_pix, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [C, chunk]
 
         # Wait the write issued two iterations ago before reusing its slot.
         @pl.when(j >= 2)
@@ -414,7 +472,8 @@ def _bwd_tile(
 
         zeros = jnp.zeros((1, chunk), jnp.float32)
         gbuf[slot, :, :] = jnp.concatenate(
-            [g_x, g_y, g_A, g_B, g_C, g_op] + g_rgb + [zeros] * (NFIELDS - 6 - channels),
+            [g_x, g_y, g_A, g_B, g_C, g_op, g_feat]
+            + [zeros] * (NFIELDS - 6 - channels),
             axis=0,
         )
         write_dma(j, slot).start()
