@@ -122,6 +122,30 @@ def main():
 
     t_setup = time.time()
     params, config, data, raster_cfg = build_scene()
+
+    # Demand-probed capacities (GAUSTAR_BENCH_AUTOCAPS=0 reverts to the fixed
+    # 1.536M/1.6M): one jitted scan measures the scene's true pair demand, and
+    # the step jits with demand x 1.15 — the TPU equivalent of the CUDA path's
+    # exact per-call buffer sizing (rasterizer_impl.cu:277-303). Pair-scale ops
+    # cost proportionally to STATIC capacity, so right-sizing is pure win; the
+    # host auto-retry still guards growth (train/refine.py).
+    if os.environ.get("GAUSTAR_BENCH_AUTOCAPS", "1") != "0":
+        from gaustar_tpu.models import sugar as _sugar
+        from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
+
+        d_pairs, d_padded = probe_pair_demand(
+            _sugar.gaussian_centers(params, config),
+            _sugar.cov3d(params, config),
+            _sugar.strengths(params),
+            data.cameras,
+            raster_cfg,
+        )
+        raster_cfg = size_caps_to_demand(raster_cfg, d_pairs, d_padded)
+        print(
+            f"# autocaps: demand pairs={d_pairs} padded={d_padded} -> "
+            f"max_pairs={raster_cfg.max_pairs} max_padded={raster_cfg.max_padded}",
+            file=sys.stderr,
+        )
     cfg = RefineConfig(num_iterations=2000, loose_bind_from=10**9, do_sh_warmup=False)
     optimizer = make_sugar_optimizer(OptimizationParams(), 1.0)
     opt_state = optimizer.init(params)

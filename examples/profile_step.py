@@ -192,15 +192,31 @@ def main():
         def f(v):
             verts = v
             faces = config.faces
-            nc = L.mesh_normal_consistency_loss(verts, faces, data.adj_faces)
-            e = L.mesh_edge_isometry_loss(verts, data.edges, data.ref_edge_len)
-            a = L.mesh_area_isometry_loss(verts, faces, data.ref_area)
+            nc = L.mesh_normal_consistency_loss(
+                verts, faces, data.adj_faces, config.face_gather, data.adj_gather
+            )
+            e = L.mesh_edge_isometry_loss_faces(
+                verts, faces, data.face_edge_ref, data.face_edge_w, config.face_gather
+            )
+            a = L.mesh_area_isometry_loss(verts, faces, data.ref_area, config.face_gather)
             return 0.5 * nc + 1000.0 * e + 1000.0 * a
 
         l, gr = jax.value_and_grad(f)(pts + i * 0.0)
         return l + gr.sum()
 
     stage("mesh_losses_fwdbwd", f_mesh, params.points)
+
+    def f_mesh_plain(i, pts):
+        def f(v):
+            nc = L.mesh_normal_consistency_loss(v, config.faces, data.adj_faces)
+            e = L.mesh_edge_isometry_loss(v, data.edges, data.ref_edge_len)
+            a = L.mesh_area_isometry_loss(v, config.faces, data.ref_area)
+            return 0.5 * nc + 1000.0 * e + 1000.0 * a
+
+        l, gr = jax.value_and_grad(f)(pts + i * 0.0)
+        return l + gr.sum()
+
+    stage("x_mesh_losses_plain_fwdbwd", f_mesh_plain, params.points)
 
     # --- targeted backward sub-stages (run: python examples/profile_step.py x_) ---
     def f_prep_fb(i, m):

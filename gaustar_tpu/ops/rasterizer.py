@@ -164,6 +164,58 @@ def grow_config(config: RasterConfig, aux: RasterAux) -> RasterConfig:
     return dataclasses.replace(config, max_pairs=new_pairs, max_padded=new_padded)
 
 
+def probe_pair_demand(means3d, cov3d, opacities, cameras, config: RasterConfig):
+    """Max (num_pairs, num_padded) over a BATCH of cameras (stacked Camera
+    pytree) — one jitted scan, two scalars fetched.
+
+    The CUDA rasterizer sizes its pair buffers exactly per call
+    (rasterizer_impl.cu:277-303); XLA's static shapes cannot, and every
+    pair-scale op (gathers/scatters/sorts/fills, ~45 ms of the reference-scale
+    step) costs proportionally to the STATIC capacity, not the live demand.
+    Probing the scene once and jitting with `size_caps_to_demand` recovers the
+    CUDA sizing discipline at a one-off compile cost; the overflow auto-retry
+    (refine_frame / rasterize_auto) still guards scenes that grow later."""
+    import numpy as np
+
+    from gaustar_tpu.cameras import index_camera
+
+    W, H = int(cameras.width), int(cameras.height)
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+    n_cams = int(np.asarray(cameras.fx).shape[0])
+
+    @jax.jit
+    def run(m, c, o, cams):
+        col = jnp.zeros((m.shape[0], 1), jnp.float32)
+
+        def body(carry, i):
+            cam = index_camera(cams, i)
+            g = preprocess(m, c, o, col, cam)
+            b = binning.bin_gaussians(
+                g, grid_x, grid_y, config.max_pairs, config.chunk, config.max_padded
+            )
+            return carry, (b.num_pairs, b.num_padded)
+
+        _, (n_p, n_pad) = jax.lax.scan(body, None, jnp.arange(n_cams))
+        return n_p.max(), n_pad.max()
+
+    n_p, n_pad = run(means3d, cov3d, opacities, cameras)
+    import numpy as _np
+
+    return int(_np.asarray(n_p)), int(_np.asarray(n_pad))
+
+
+def size_caps_to_demand(
+    config: RasterConfig, demand_pairs: int, demand_padded: int, headroom: float = 1.15
+) -> RasterConfig:
+    """Config with capacities sized to measured demand x headroom (see
+    probe_pair_demand). max_pairs rounds up to 1024, max_padded to the chunk."""
+    pairs = -(-int(demand_pairs * headroom) // 1024) * 1024
+    padded = max(int(demand_padded * headroom), pairs)
+    padded = -(-padded // config.chunk) * config.chunk
+    return dataclasses.replace(config, max_pairs=pairs, max_padded=padded)
+
+
 def rasterize_auto(
     means3d,
     cov3d,

@@ -550,6 +550,7 @@ def refine_frame(
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
     resume: bool = False,
+    auto_size_caps: float | None = None,
 ):
     """Full refinement of one frame (refined_training, refine.py:39-866).
 
@@ -557,6 +558,13 @@ def refine_frame(
     invoked once at loose_bind_from (the detect_topo_err hook, refine.py:720-737);
     if >= 100 gaussian-groups are fully flagged the model is loose-bound and the
     delta regularizers activate. Returns (params, model_config, history).
+
+    `auto_size_caps` (e.g. 1.2): probe the scene's true pair demand over all
+    cameras once and jit the step with capacities = demand x this headroom —
+    the CUDA path's exact per-call buffer sizing (rasterizer_impl.cu:277-303)
+    recovered for static shapes; pair-scale ops cost proportionally to the
+    static capacity (ROOFLINE.md). The overflow auto-retry below still guards
+    scenes whose demand grows mid-frame (e.g. after unbinding).
     """
     # The jitted step donates its params/opt_state buffers; copy so the CALLER's
     # pytree stays valid after this function returns.
@@ -572,6 +580,21 @@ def refine_frame(
         opt_params = OptimizationParams(iterations=cfg.num_iterations)
     optimizer = make_sugar_optimizer(opt_params, spatial_lr_scale)
     opt_state = optimizer.init(params)
+
+    if auto_size_caps is not None:
+        from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
+
+        d_pairs, d_padded = probe_pair_demand(
+            sugar.gaussian_centers(params, model_config),
+            sugar.cov3d(params, model_config),
+            sugar.strengths(params),
+            data.cameras,
+            raster_cfg,
+        )
+        raster_cfg = size_caps_to_demand(raster_cfg, d_pairs, d_padded, auto_size_caps)
+        if log_fn:
+            log_fn({"auto_caps_pairs": raster_cfg.max_pairs, "auto_caps_padded": raster_cfg.max_padded})
+
     step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
 
     if config_dump_path:
