@@ -62,7 +62,7 @@ def main():
 
 
 def aggregate():
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"), recursive=True)
     assert paths, f"no xplane files under {TRACE_DIR}"

@@ -150,6 +150,7 @@ def main():
         refinement_iterations=ITERS, sh_reg=True,
         force_watertight=False,
         fusion_simplify_face_num=150_000,
+        auto_size_caps=1.3,
     )
     rcfg = RasterConfig(max_pairs=1_536_000, max_padded=1_600_000, chunk=256, impl="pallas")
 

@@ -83,6 +83,11 @@ class SequenceConfig:
     # :124-160). Off = the reference's raw fusion-color behavior.
     recolor_new_faces: bool = True
     recolor_depth_agreement: float = 0.02
+    # Demand-probed rasterizer capacities (ops/rasterizer.probe_pair_demand):
+    # per frame, size the static pair buffers to measured demand x this factor
+    # (the CUDA path's exact per-call sizing, rasterizer_impl.cu:277-303).
+    # None = use raster_cfg's capacities as-is.
+    auto_size_caps: float | None = None
 
 
 def _recolor_new_vertices(um, track_face_mask, cams, gt_images, gt_depths,
@@ -261,6 +266,7 @@ def refine_one_frame(
             pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
             config_dump_path=config_dump_path,
             log_fn=log_fn,
+            auto_size_caps=seq.auto_size_caps,
         )
     finally:
         if logger is not None:
