@@ -218,10 +218,13 @@ def _normalize3(v, eps=1e-12):
     return [v[0] / n, v[1] / n, v[2] / n]
 
 
-def gaussian_centers(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
+def gaussian_centers(params: SuGaRParams, config: SuGaRConfig, v=None) -> jnp.ndarray:
     """Barycentric gaussian centers (+delta_t when loose) — `points` property
-    (sugar_model.py:417-435)."""
-    v = _face_vert_comps(params, config)
+    (sugar_model.py:417-435). `v` = precomputed _face_vert_comps (geom_primitives
+    shares it with the covariance so the backward runs ONE per-vertex
+    reduction)."""
+    if v is None:
+        v = _face_vert_comps(params, config)
     bary = config.bary  # [ng, 3]
     comps = [
         v[0][d][:, None] * bary[None, :, 0]
@@ -278,10 +281,11 @@ def quaternions(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
     return matrix_to_quaternion(gaussian_frames(params, config))
 
 
-def _frame_cols_soa(params: SuGaRParams, config: SuGaRConfig):
+def _frame_cols_soa(params: SuGaRParams, config: SuGaRConfig, v=None):
     """Rotation columns (r0 | r1 | r2) as component arrays [F, ng] — the
     component-major form of `gaussian_frames` (identical math, no [N, 3, 3])."""
-    v = _face_vert_comps(params, config)
+    if v is None:
+        v = _face_vert_comps(params, config)
     e1 = [v[1][d] - v[0][d] for d in range(3)]
     e2 = [v[2][d] - v[0][d] for d in range(3)]
     r0f = _normalize3(_cross3(e1, e2))  # face normal, [F]
@@ -320,11 +324,11 @@ def _frame_cols_soa(params: SuGaRParams, config: SuGaRConfig):
 
 
 def covariance6(
-    params: SuGaRParams, config: SuGaRConfig, use_solid_surface: bool = False
+    params: SuGaRParams, config: SuGaRConfig, use_solid_surface: bool = False, v=None
 ) -> jnp.ndarray:
     """Packed world covariance [N, 6] (xx, xy, xz, yy, yz, zz): Sigma = U S^2 U^T,
     expanded per entry: Sigma_de = sum_i s2_i * r_i[d] * r_i[e] — all elementwise."""
-    r0, r1, r2 = _frame_cols_soa(params, config)
+    r0, r1, r2 = _frame_cols_soa(params, config, v)
     s = scaling(params, config)  # [N, 3]
     if use_solid_surface:
         # raise small in-plane scales to their mean (sugar_model.py:1230-1232)
@@ -342,6 +346,22 @@ def covariance6(
 def cov3d(params: SuGaRParams, config: SuGaRConfig) -> jnp.ndarray:
     """Packed world covariance [N, 6] (xx, xy, xz, yy, yz, zz): Sigma = U S^2 U^T."""
     return covariance6(params, config)
+
+
+def geom_primitives(
+    params: SuGaRParams, config: SuGaRConfig, use_solid_surface: bool = False
+):
+    """(positions [N, 3], cov6 [N, 6]) sharing ONE verts[faces] gather.
+
+    Computing centers and covariance separately shares the forward gather via
+    XLA CSE but pays TWO backward per-vertex reductions; sharing the gathered
+    value makes autodiff add the cotangents first (round-4 trace: each
+    300k-row backward gather is ~1.3 ms at reference scale)."""
+    v = _face_vert_comps(params, config)
+    return (
+        gaussian_centers(params, config, v),
+        covariance6(params, config, use_solid_surface, v),
+    )
 
 
 def compute_density(
@@ -434,8 +454,7 @@ def render(
     if sh_deg is None:
         sh_deg = config.sh_levels - 1
     if geom is None:
-        positions = gaussian_centers(params, config)
-        cov = covariance6(params, config, use_solid_surface=use_solid_surface)
+        positions, cov = geom_primitives(params, config, use_solid_surface)
     else:
         positions, cov = geom
     if point_colors is None:
@@ -477,7 +496,9 @@ def render_rgbd(
     aux)."""
     if sh_deg is None:
         sh_deg = config.sh_levels - 1
-    positions = geom[0] if geom is not None else gaussian_centers(params, config)
+    if geom is None:
+        geom = geom_primitives(params, config)
+    positions = geom[0]
     rgb = points_rgb(params, positions, camera.camera_center, sh_deg, sh_band_w)
     view = camera.view
     z = positions @ view[2, :3] + view[2, 3]
@@ -491,7 +512,7 @@ def render_rgbd(
         bg=bg4,
         raster_config=cfg4,
         point_colors=colors4,
-        geom=(positions, geom[1]) if geom is not None else None,
+        geom=geom,
     )
     return img4[..., :3], img4[..., 3], aux
 

@@ -162,9 +162,8 @@ def _cross_comps(a, b):
     ]
 
 
-def _face_area_normal_comps(verts, faces, tables=None):
-    """(areas [F], normal components [nx, ny, nz] each [F]) — component-major."""
-    v = _face_corner_comps(verts, faces, tables)
+def _area_normal_from_comps(v):
+    """(areas [F], normal components [nx, ny, nz] each [F]) from corner comps."""
     e1 = [v[1][d] - v[0][d] for d in range(3)]
     e2 = [v[2][d] - v[0][d] for d in range(3)]
     n = _cross_comps(e1, e2)
@@ -174,6 +173,11 @@ def _face_area_normal_comps(verts, faces, tables=None):
     nn = jnp.sqrt(jnp.maximum(n[0] * n[0] + n[1] * n[1] + n[2] * n[2], 1e-24))
     inv = 1.0 / nn
     return 0.5 * nn, [n[d] * inv for d in range(3)]
+
+
+def _face_area_normal_comps(verts, faces, tables=None):
+    """(areas [F], normal components [nx, ny, nz] each [F]) — component-major."""
+    return _area_normal_from_comps(_face_corner_comps(verts, faces, tables))
 
 
 def face_areas_normals(verts: jnp.ndarray, faces: jnp.ndarray):
@@ -228,7 +232,12 @@ def mesh_edge_isometry_loss_faces(
     but its gradient rides the SAME verts[faces] gather the normal-consistency
     and area losses use, so the backward has one shared vertex scatter instead
     of two (the gather's transpose adds the cotangents before scattering)."""
-    v = _face_corner_comps(verts, faces, tables)
+    return _edge_iso_from_comps(
+        _face_corner_comps(verts, faces, tables), face_edge_ref, face_edge_w
+    )
+
+
+def _edge_iso_from_comps(v, face_edge_ref, face_edge_w) -> jnp.ndarray:
     total = jnp.float32(0.0)
     for k in range(3):
         k2 = (k + 1) % 3
@@ -236,6 +245,44 @@ def mesh_edge_isometry_loss_faces(
         ln = jnp.sqrt(jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-24))
         total = total + (face_edge_w[:, k] * (ln - face_edge_ref[:, k]) ** 2).sum()
     return total
+
+
+def mesh_regularizers(
+    verts,
+    faces,
+    adj_faces,
+    ref_area,
+    face_edge_ref=None,
+    face_edge_w=None,
+    edges=None,
+    ref_edge_len=None,
+    tables=None,
+    adj_tables=None,
+):
+    """All three mesh losses (refine.py:678-718) from ONE verts[faces] gather.
+
+    Calling the per-loss functions separately shares the forward gather via
+    XLA CSE, but each call's VJP still runs its OWN per-vertex backward
+    reduction (~1.3 ms per 300k-row descriptor-bound gather; the round-4
+    xplane trace showed seven of them). Sharing the gathered VALUE makes
+    autodiff sum the three losses' cotangents first — one backward reduction.
+    Returns {'nc', 'edge', 'area'} (edge = 0 if no edge tables given)."""
+    from gaustar_tpu.ops.segment import gather_rows
+
+    v = _face_corner_comps(verts, faces, tables)
+    areas, n = _area_normal_from_comps(v)
+    normals = jnp.stack(n, axis=-1)
+    nv = gather_rows(normals, adj_faces.reshape(-1), adj_tables).reshape(-1, 2, 3)
+    dot = sum(nv[:, 0, d] * nv[:, 1, d] for d in range(3))
+    nc = (1.0 - dot).mean()
+    if face_edge_ref is not None:
+        edge = _edge_iso_from_comps(v, face_edge_ref, face_edge_w)
+    elif edges is not None:
+        edge = mesh_edge_isometry_loss(verts, edges, ref_edge_len)
+    else:
+        edge = jnp.float32(0.0)
+    area = jnp.abs(areas - ref_area).mean()
+    return {"nc": nc, "edge": edge, "area": area}
 
 
 def mesh_area_isometry_loss(verts, faces, ref_areas, tables=None) -> jnp.ndarray:

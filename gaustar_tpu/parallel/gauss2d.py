@@ -268,13 +268,12 @@ def _local_loss(
     """
     camera = index_camera(local_data.cameras, cam_idx)
 
-    # Fused RGBD primitives on the LOCAL gaussian shard.
-    positions = sugar.gaussian_centers(p_local, config_local)
+    # Fused RGBD primitives on the LOCAL gaussian shard (one shared gather).
+    positions, cov = sugar.geom_primitives(p_local, config_local)
     rgb = sugar.points_rgb(p_local, positions, camera.camera_center, sh_deg)
     view = camera.view
     z = positions @ view[2, :3] + view[2, 3]
     colors4 = jnp.concatenate([rgb, z[:, None]], axis=-1)
-    cov = sugar.covariance6(p_local, config_local)
     opac = sugar.strengths(p_local)
     g2d = preprocess(positions, cov, opac, colors4, camera)
 

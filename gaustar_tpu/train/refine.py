@@ -289,32 +289,33 @@ def shared_losses(
         loss_dict["sh_reg_loss"] = sh_reg
 
     # --- mesh losses (refine.py:678-718) ---
-    # The verts[faces] gather is shared by all three losses AND the SuGaR
-    # primitives (XLA CSE); its backward uses the static segment-sum tables.
+    # All three ride ONE verts[faces] gather (losses.mesh_regularizers), so the
+    # backward runs a single per-vertex segment reduction; its VJP uses the
+    # static segment-sum tables when present.
     verts, faces = sugar.surface_mesh(params, model_config)
-    ft = model_config.face_gather
-    nc = cfg.normal_consistency_factor * losses.mesh_normal_consistency_loss(
-        verts, faces, data.adj_faces, tables=ft, adj_tables=data.adj_gather
+    reg = losses.mesh_regularizers(
+        verts,
+        faces,
+        data.adj_faces,
+        data.ref_area,
+        face_edge_ref=data.face_edge_ref,
+        face_edge_w=data.face_edge_w,
+        edges=data.edges,
+        ref_edge_len=data.ref_edge_len,
+        tables=model_config.face_gather,
+        adj_tables=data.adj_gather,
     )
+    nc = cfg.normal_consistency_factor * reg["nc"]
     loss = loss + nc
     loss_dict["nc_loss"] = nc
 
     edge_on = iteration > cfg.edge_iso_from
-    if data.face_edge_ref is not None:
-        edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss_faces(
-            verts, faces, data.face_edge_ref, data.face_edge_w, tables=ft
-        )
-    else:
-        edge = cfg.edge_iso_factor * losses.mesh_edge_isometry_loss(
-            verts, data.edges, data.ref_edge_len
-        )
+    edge = cfg.edge_iso_factor * reg["edge"]
     loss = loss + jnp.where(edge_on, edge, 0.0)
     loss_dict["edge_loss"] = edge
 
     area_on = iteration > cfg.area_iso_from
-    area = cfg.area_iso_factor * losses.mesh_area_isometry_loss(
-        verts, faces, data.ref_area, tables=ft
-    )
+    area = cfg.area_iso_factor * reg["area"]
     loss = loss + jnp.where(area_on, area, 0.0)
     loss_dict["area_loss"] = area
 
@@ -414,9 +415,7 @@ def compute_losses_multi_scan(
     computed once outside the scan; XLA CSE did this implicitly for the
     unrolled form. Values and gradients are identical to compute_losses_multi
     (tests/test_multi_camera.py)."""
-    positions = sugar.gaussian_centers(params, model_config)
-    cov = sugar.covariance6(params, model_config)
-    geom = (positions, cov)
+    geom = sugar.geom_primitives(params, model_config)
 
     def body(carry, cam_idx):
         camera = index_camera(data.cameras, cam_idx)
