@@ -440,6 +440,7 @@ def render(
     means2d_dummy: jnp.ndarray | None = None,
     sh_band_w=None,
     geom=None,
+    layout: str = "hwc",
 ):
     """Render an image — render_image_gaussian_rasterizer (sugar_model.py:1065-1311),
     default path: compute_color_in_rasterizer=False (SH evaluated here),
@@ -471,6 +472,7 @@ def render(
         bg=bg,
         config=raster_config,
         means2d_dummy=means2d_dummy,
+        layout=layout,
     )
 
 
@@ -484,6 +486,7 @@ def render_rgbd(
     raster_config: RasterConfig = RasterConfig(),
     sh_band_w=None,
     geom=None,
+    layout: str = "hwc",
 ):
     """Fused RGB + depth render in ONE rasterizer pass (4 blend channels).
 
@@ -513,7 +516,10 @@ def render_rgbd(
         raster_config=cfg4,
         point_colors=colors4,
         geom=geom,
+        layout=layout,
     )
+    if layout == "cm":
+        return img4[:3], img4[3], aux
     return img4[..., :3], img4[..., 3], aux
 
 

@@ -121,6 +121,36 @@ def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp
     )
 
 
+def ssim_map_cm(img1_cm: jnp.ndarray, img2_cm: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """ssim_map in CHANNELS-MAJOR layout ([C, H, W] in -> [C, H, W] map): the
+    separable filter already runs channels-major (_sep_filter_bhw), so this
+    path has NO [H,W,C] relayouts — the Pallas render's native layout flows
+    straight through (two big transposes + their backward counterparts saved
+    per step vs ssim_map)."""
+    window = _gaussian_window(window_size, 1.5)
+    fac = _rank1_factors(window)
+    assert fac is not None, "cm path expects the separable SSIM window"
+    c = img1_cm.shape[0]
+    stack = jnp.concatenate(
+        [img1_cm, img2_cm, img1_cm * img1_cm, img2_cm * img2_cm, img1_cm * img2_cm],
+        axis=0,
+    )  # [5C, H, W]
+    out = _sep_filter_bhw(stack, *fac)
+    mu1, mu2 = out[0:c], out[c : 2 * c]
+    e11, e22, e12 = out[2 * c : 3 * c], out[3 * c : 4 * c], out[4 * c :]
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = e11 - mu1_sq
+    sigma2_sq = e22 - mu2_sq
+    sigma12 = e12 - mu1_mu2
+    c1 = 0.01**2
+    c2 = 0.03**2
+    return ((2.0 * mu1_mu2 + c1) * (2.0 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+
+
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM over an [H, W, C] image pair (reference loss_utils.py:33-63)."""
     return ssim_map(img1, img2, window_size).mean()

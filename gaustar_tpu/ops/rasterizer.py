@@ -62,12 +62,18 @@ def rasterize(
     bg: Any = (0.0, 0.0, 0.0),
     config: RasterConfig = RasterConfig(),
     means2d_dummy: jnp.ndarray | None = None,
+    layout: str = "hwc",
 ):
     """Render preprocessed gaussian primitives; returns (image [H,W,C], RasterAux).
 
     `means2d_dummy` replicates the reference's screenspace_points trick
     (sugar_model.py:1266-1276): an all-zero [N, 2] array whose gradient receives
     dL/d(NDC mean2d) — the densifier's statistic (sugar_densifier.py:156-171).
+
+    `layout="cm"` returns the image CHANNELS-MAJOR ([C, H, W]): the Pallas path
+    produces channel-major maps natively, and the loss stack's SSIM filter runs
+    channels-major too — skipping the [H,W,C] round-trip saves two big
+    relayouts (each with a backward counterpart) per step.
     """
     impl = config.resolve_impl()
     W, H = camera.width, camera.height
@@ -120,15 +126,28 @@ def rasterize(
         )
         maps = blend_jax.assemble_image_cm(raw, grid_x, grid_y, W, H)  # [8, H, W]
         if config.channels == 3:
-            color = maps[0:3].transpose(1, 2, 0)
+            color_cm = maps[0:3]
         else:
-            color = jnp.concatenate([maps[0:3], maps[6:7]], axis=0).transpose(1, 2, 0)
+            color_cm = jnp.concatenate([maps[0:3], maps[6:7]], axis=0)
         final_t = maps[3]
         n_contrib = maps[4].astype(jnp.int32)
+        if layout == "cm":
+            img = color_cm + final_t[None] * jnp.asarray(bg, jnp.float32)[:, None, None]
+            aux = RasterAux(
+                final_T=final_t,
+                n_contrib=n_contrib,
+                radii=g.radius,
+                num_pairs=binned.num_pairs,
+                num_padded=binned.num_padded,
+            )
+            return img, aux
+        color = color_cm.transpose(1, 2, 0)
     else:
         raise ValueError(f"unknown rasterizer impl: {impl}")
 
     img = color + final_t[..., None] * jnp.asarray(bg, jnp.float32)
+    if layout == "cm":
+        img = img.transpose(2, 0, 1)  # non-pallas impls: correct, not fast
     aux = RasterAux(
         final_T=final_t,
         n_contrib=n_contrib,

@@ -160,6 +160,16 @@ def masked_rgb_loss(pred, gt, mask, dssim_factor=0.2):
     return (1.0 - dssim_factor) * l1 + dssim_factor * (1.0 - ssim_v)
 
 
+def masked_rgb_loss_cm(pred_cm, gt_cm, mask, dssim_factor=0.2):
+    """masked_rgb_loss in channels-major layout ([C, H, W]); identical value
+    (same sums, reassociated) with zero [H,W,C] relayouts on the hot path."""
+    m3 = mask[None]
+    l1 = masked_mean(jnp.abs(pred_cm - gt_cm), jnp.broadcast_to(m3, pred_cm.shape))
+    smap = losses.ssim_map_cm(pred_cm * m3, gt_cm * m3)
+    ssim_v = masked_mean(smap, jnp.broadcast_to(m3, smap.shape))
+    return (1.0 - dssim_factor) * l1 + dssim_factor * (1.0 - ssim_v)
+
+
 def compute_losses(
     params: sugar.SuGaRParams,
     model_config: sugar.SuGaRConfig,
@@ -185,6 +195,8 @@ def compute_losses(
 
     # --- RGB + depth in ONE fused rasterizer pass (identical blend weights =>
     # identical values/gradients to the reference's two passes; see render_rgbd).
+    # Channels-major end to end: the Pallas maps feed the cm loss path with no
+    # [H,W,C] round-trip (see pixel_losses layout="cm").
     img, pred_depth, _aux = sugar.render_rgbd(
         params,
         model_config,
@@ -194,10 +206,11 @@ def compute_losses(
         max_depth=cfg.max_depth,
         raster_config=raster_cfg,
         sh_band_w=sh_band_w,
+        layout="cm",
     )
     loss, loss_dict = losses_after_render(
         params, model_config, data, cam_idx, iteration, cfg,
-        img, pred_depth, unbind_weight, pre_sh_dc,
+        img, pred_depth, unbind_weight, pre_sh_dc, layout="cm",
     )
     # Capacity telemetry: lets the host loop auto-grow the raster config on
     # overflow instead of silently truncating (see refine_frame).
@@ -213,18 +226,35 @@ def pixel_losses(
     cfg: RefineConfig,
     img,
     pred_depth,
+    layout: str = "hwc",
 ):
     """The CAMERA-dependent loss terms (rgb + depth + mask) given a rendered
     (img, pred_depth). Split out so batched steps can scan over cameras while
-    computing the camera-independent mesh/reg terms once."""
+    computing the camera-independent mesh/reg terms once.
+
+    `layout="cm"` takes img CHANNELS-MAJOR ([3, H, W], the Pallas render's
+    native layout): GT transposes once (constant — no backward), the SSIM path
+    runs channels-major throughout — two relayouts (plus their cotangent
+    counterparts) cheaper per step than the hwc path. Same value (summation
+    reassociation only)."""
     camera = index_camera(data.cameras, cam_idx)
     H, W = camera.height, camera.width
     loss_dict = {}
 
     gt = data.gt_images[cam_idx]
+    if layout == "cm":
+        gt = gt.transpose(2, 0, 1)
     if cfg.use_margin:
         mask = margin_mask(data.margins[cam_idx], H, W)
-        rgb = masked_rgb_loss(img, gt, mask, cfg.dssim_factor)
+        if layout == "cm":
+            rgb = masked_rgb_loss_cm(img, gt, mask, cfg.dssim_factor)
+        else:
+            rgb = masked_rgb_loss(img, gt, mask, cfg.dssim_factor)
+    elif layout == "cm":
+        f = cfg.dssim_factor
+        rgb = (1.0 - f) * losses.l1_loss(img, gt) + f * (
+            1.0 - losses.ssim_map_cm(img, gt).mean()
+        )
     else:
         rgb = losses.rgb_loss(img, gt, cfg.dssim_factor)
     loss = rgb
@@ -255,11 +285,12 @@ def losses_after_render(
     pred_depth,
     unbind_weight=None,
     pre_sh_dc=None,
+    layout: str = "hwc",
 ):
     """The full refine loss stack GIVEN a rendered (img, pred_depth) — shared
     by the single-device path (compute_losses) and the gaussian-axis sharded
     path (parallel/gauss2d.py), so their loss math is one implementation."""
-    loss, loss_dict = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth)
+    loss, loss_dict = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth, layout)
     s_loss, s_dict = shared_losses(
         params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc
     )
@@ -429,8 +460,11 @@ def compute_losses_multi_scan(
             raster_config=raster_cfg,
             sh_band_w=sh_band_w,
             geom=geom,
+            layout="cm",
         )
-        loss_b, dict_b = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth)
+        loss_b, dict_b = pixel_losses(
+            data, cam_idx, iteration, cfg, img, pred_depth, layout="cm"
+        )
         return carry, (loss_b, dict_b, aux.num_pairs, aux.num_padded)
 
     _, (losses_b, dicts_b, num_pairs, num_padded) = jax.lax.scan(

@@ -188,3 +188,26 @@ def test_edge_isometry_fused_matches_edge_form():
     l1, g1 = jax.value_and_grad(f_face)(v)
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-8)
+
+
+def test_cm_loss_path_matches_hwc():
+    """pixel_losses layout='cm' == 'hwc' (same sums, reassociated)."""
+    import numpy as np
+
+    from gaustar_tpu.train import refine as R
+
+    rng = np.random.default_rng(3)
+    h, w = 40, 48
+    img = jnp.asarray(rng.uniform(size=(h, w, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(size=(h, w, 3)), jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=(h, w)) > 0.2), jnp.float32)
+    a = R.masked_rgb_loss(img, gt, mask)
+    b = R.masked_rgb_loss_cm(img.transpose(2, 0, 1), gt.transpose(2, 0, 1), mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    from gaustar_tpu.ops.losses import ssim_map, ssim_map_cm
+
+    m1 = ssim_map(img, gt)
+    m2 = ssim_map_cm(img.transpose(2, 0, 1), gt.transpose(2, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(m1), np.asarray(m2.transpose(1, 2, 0)), rtol=1e-5, atol=1e-6
+    )
