@@ -72,27 +72,6 @@ def _scan_mul_incl(x):
     return x
 
 
-def _suffix_mul_incl(x):
-    """sp_i = prod_{j >= i} x_j along axis 1."""
-    n = x.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 1
-    while k < n:
-        x = x * jnp.where(idx < n - k, _roll(x, -k, 1), 1.0)
-        k <<= 1
-    return x
-
-
-def _suffix_sum_incl(x):
-    n = x.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 1
-    while k < n:
-        x = x + jnp.where(idx < n - k, _roll(x, -k, 1), 0.0)
-        k <<= 1
-    return x
-
-
 def _pixel_coords(t, grid_x):
     """Tile pixel coordinate COLUMNS [PIX, 1] (row-major within the tile)."""
     flat = lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -416,7 +395,19 @@ def _bwd_tile(
         a = jnp.where(included, a0, 0.0)
         om = 1.0 - a
 
-        sp = _suffix_mul_incl(om)  # prod_{j>=i} within chunk
+        # Suffix product in LOG space on the MXU (reusing sfx): sp feeds only
+        # gradient VALUES — the backward's inclusion mask is pos <= n_c (saved
+        # by the forward), so the ~1e-6-relative log/exp reassociation cannot
+        # flip any discrete decision (unlike the forward's E, which must stay
+        # a real product scan for exact n_contrib). Range-safe: sp * p_after =
+        # t_final / t_i is bounded to [t_final, 1]; om >= 0.01 where a > 0 and
+        # exactly 1 (log = 0) where excluded.
+        sp = jnp.exp(
+            lax.dot_general(
+                jnp.log(om), sfx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
         t_i = t_final / (sp * p_after)  # transmittance before pair i
         w = a * t_i
 
