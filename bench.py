@@ -133,17 +133,20 @@ def main():
         from gaustar_tpu.models import sugar as _sugar
         from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
 
-        d_pairs, d_padded = probe_pair_demand(
+        d_pairs, d_padded, d_active = probe_pair_demand(
             _sugar.gaussian_centers(params, config),
             _sugar.cov3d(params, config),
             _sugar.strengths(params),
             data.cameras,
             raster_cfg,
         )
-        raster_cfg = size_caps_to_demand(raster_cfg, d_pairs, d_padded)
+        raster_cfg = size_caps_to_demand(
+            raster_cfg, d_pairs, d_padded, demand_active=d_active
+        )
         print(
-            f"# autocaps: demand pairs={d_pairs} padded={d_padded} -> "
-            f"max_pairs={raster_cfg.max_pairs} max_padded={raster_cfg.max_padded}",
+            f"# autocaps: demand pairs={d_pairs} padded={d_padded} active={d_active}"
+            f" -> max_pairs={raster_cfg.max_pairs} max_padded={raster_cfg.max_padded}"
+            f" max_active={raster_cfg.max_active_tiles}",
             file=sys.stderr,
         )
     cfg = RefineConfig(num_iterations=2000, loose_bind_from=10**9, do_sh_warmup=False)

@@ -193,6 +193,25 @@ def bin_gaussians(
     )
 
 
+def compact_active_tiles(tile_count: jnp.ndarray, max_active: int):
+    """(active_ids [max_active] i32, n_active []): the ids of NON-EMPTY tiles,
+    in tile order, padded with the sentinel T. Most of a typical capture's tile
+    grid is empty background; blending only the active tiles saves the Pallas
+    grid-step overhead (~0.35 us/tile x fwd+bwd) and the empty-block writes.
+    `max_active` is a static capacity like max_pairs: n_active > max_active
+    means truncation (detected via RasterAux.num_active, host auto-retry)."""
+    t = tile_count.shape[0]
+    nonempty = (tile_count > 0).astype(jnp.int32)
+    ids = jnp.arange(t, dtype=jnp.int32)
+    _, ids_s = jax.lax.sort((1 - nonempty, ids), num_keys=1, is_stable=True)
+    n_active = nonempty.sum()
+    k = min(max_active, t)
+    act = jnp.where(jnp.arange(k) < n_active, ids_s[:k], t).astype(jnp.int32)
+    if max_active > t:
+        act = jnp.pad(act, (0, max_active - t), constant_values=t)
+    return act, n_active
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gather_rows_soa(src, idx, pair_offsets, n: int, nf: int):
     """src [N, F] row gather -> [F, cap] SoA, with a SORT-BASED segment-sum

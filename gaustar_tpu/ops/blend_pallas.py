@@ -113,13 +113,16 @@ def _state_col(ch: int) -> int:
 
 
 def _fwd_kernel(
-    start_ref, nchunks_ref, base_ref, pair_hbm, out_ref, buf, state, sem, *,
+    start_ref, nchunks_ref, base_ref, ids_ref, pair_hbm, out_ref, buf, state, sem, *,
     grid_x, width, height, chunk, channels
 ):
     t = pl.program_id(0)
     start = start_ref[t]
     nch = nchunks_ref[t]
-    tg = t + base_ref[0]  # global tile id (strip blending: base = strip start)
+    # Global tile id: ids_ref maps the grid step to its tile (identity for the
+    # dense grid; the ACTIVE-tile list under compaction; the strip offset rides
+    # base_ref for the gaussian-sharded path).
+    tg = ids_ref[t] + base_ref[0]
 
     # Empty tiles (most of a typical grid) get a constant background block:
     # color 0, T = 1, n_contrib 0 — no state init, no transpose.
@@ -236,13 +239,16 @@ def _fwd_tile(t, start, nch, pair_hbm, out_ref, buf, state, sem, *,
 
 def _blend_fwd_raw(
     pair_data, tile_start, tile_nchunks, grid_x, grid_y, width, height, chunk,
-    channels, interpret, tile_base=None
+    channels, interpret, tile_base=None, tile_ids=None
 ):
     # n_tiles = this call's STRIP length (the full grid unless tile_base is
-    # given; the gaussian-axis sharded path blends ceil(T/D) tiles per device).
+    # given; the gaussian-axis sharded path blends ceil(T/D) tiles per device)
+    # or the ACTIVE-tile capacity under compaction (tile_ids given).
     n_tiles = tile_start.shape[0]
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
+    if tile_ids is None:
+        tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     kernel = functools.partial(
         _fwd_kernel, grid_x=grid_x, width=width, height=height, chunk=chunk,
         channels=channels,
@@ -250,7 +256,7 @@ def _blend_fwd_raw(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, PIX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -262,7 +268,8 @@ def _blend_fwd_raw(
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, PIX), jnp.float32),
         interpret=interpret,
-    )(tile_start, tile_nchunks, tile_base.reshape(1).astype(jnp.int32), pair_data)
+    )(tile_start, tile_nchunks, tile_base.reshape(1).astype(jnp.int32),
+      tile_ids.astype(jnp.int32), pair_data)
     return out
 
 
@@ -275,6 +282,7 @@ def _bwd_kernel(
     start_ref,
     used_ref,
     base_ref,
+    ids_ref,
     pair_hbm,
     fwd_ref,
     dout_ref,
@@ -292,7 +300,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     start = start_ref[t]
     used = used_ref[t]
-    tg = t + base_ref[0]  # global tile id (strip blending)
+    tg = ids_ref[t] + base_ref[0]  # global tile id (strips/compaction: see fwd)
 
     # Most tiles of a typical capture have no contributors (empty background or
     # padding) — skip ALL work for them, including the input transposes. Their
@@ -484,17 +492,19 @@ def _bwd_tile(
 
 def _blend_bwd_raw(
     pair_data, tile_start, tile_used, fwd_out, dout, grid_x, grid_y, chunk,
-    channels, interpret, tile_base=None
+    channels, interpret, tile_base=None, tile_ids=None
 ):
     n_tiles = tile_start.shape[0]
     cap = pair_data.shape[1]
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
+    if tile_ids is None:
+        tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, chunk=chunk, channels=channels)
     grads = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -513,7 +523,8 @@ def _blend_bwd_raw(
         out_shape=jax.ShapeDtypeStruct((NFIELDS, cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_used, tile_base.reshape(1).astype(jnp.int32), pair_data, fwd_out, dout)
+    )(tile_start, tile_used, tile_base.reshape(1).astype(jnp.int32),
+      tile_ids.astype(jnp.int32), pair_data, fwd_out, dout)
     return grads
 
 
@@ -528,12 +539,13 @@ def _auto_interpret(interpret):
     return interpret
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def blend_tiles_pallas_raw(
     pair_data,
     tile_start,
     tile_nchunks,
     tile_base,
+    tile_ids,
     grid_x: int,
     grid_y: int,
     width: int,
@@ -553,7 +565,9 @@ def blend_tiles_pallas_raw(
     `tile_base` ([1] i32, traced) offsets tile ids for pixel-coordinate
     purposes: the gaussian-axis sharded path blends a STRIP of ceil(T/D) tiles
     per device (tile_start/tile_nchunks are the strip's slices; segment offsets
-    still index the full pair_data)."""
+    still index the full pair_data). `tile_ids` ([n] i32, traced, or None =
+    arange) maps grid steps to tile ids — the ACTIVE-tile compaction passes the
+    non-empty tiles' ids (binning.compact_active_tiles)."""
     return _blend_fwd_raw(
         pair_data,
         tile_start.astype(jnp.int32),
@@ -566,18 +580,19 @@ def blend_tiles_pallas_raw(
         channels,
         _auto_interpret(interpret),
         tile_base=tile_base,
+        tile_ids=tile_ids,
     )
 
 
-def _raw_fwd_rule(pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret):
+def _raw_fwd_rule(pair_data, tile_start, tile_nchunks, tile_base, tile_ids, grid_x, grid_y, width, height, chunk, channels, interpret):
     raw = blend_tiles_pallas_raw(
-        pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
+        pair_data, tile_start, tile_nchunks, tile_base, tile_ids, grid_x, grid_y, width, height, chunk, channels, interpret
     )
-    return raw, (pair_data, tile_start, tile_nchunks, tile_base, raw)
+    return raw, (pair_data, tile_start, tile_nchunks, tile_base, tile_ids, raw)
 
 
 def _raw_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res, ct):
-    pair_data, tile_start, tile_nchunks, tile_base, raw = res
+    pair_data, tile_start, tile_nchunks, tile_base, tile_ids, raw = res
     # The backward kernel reads only dstate cols 0-3 and 6 (dC_cols + dT); the
     # raw cotangent already has that exact layout. Cols 4/5/7 (n_contrib, done,
     # zero) are integral bookkeeping — their cotangents are structurally zero.
@@ -597,6 +612,7 @@ def _raw_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res
         channels,
         _auto_interpret(interpret),
         tile_base=tile_base,
+        tile_ids=tile_ids,
     )
     # Zero the slots the kernel never wrote (tiles' unused chunks + padding).
     # Written slots form disjoint intervals [start_t, start_t + used_t*chunk) in
@@ -610,10 +626,8 @@ def _raw_bwd_rule(grid_x, grid_y, width, height, chunk, channels, interpret, res
     delta = delta.at[jnp.minimum(ends, cap)].add(-1, mode="drop")
     written = jnp.cumsum(delta[:-1]) > 0
     grads = jnp.where(written[None, :], grads, 0.0)
-    d_ts = np.zeros(tile_start.shape, jax.dtypes.float0)
-    d_tn = np.zeros(tile_nchunks.shape, jax.dtypes.float0)
-    d_tb = np.zeros(tile_base.shape, jax.dtypes.float0)
-    return grads, d_ts, d_tn, d_tb
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return grads, f0(tile_start), f0(tile_nchunks), f0(tile_base), f0(tile_ids)
 
 
 blend_tiles_pallas_raw.defvjp(_raw_fwd_rule, _raw_bwd_rule)
@@ -631,6 +645,7 @@ def blend_tiles_pallas_base(
     chunk: int = 256,
     channels: int = 3,
     interpret: bool | None = None,
+    tile_ids=None,
 ):
     """Blend binned pairs (pair_data [NFIELDS, cap]). Returns (color [T, C, PIX],
     final_T [T, PIX], n_contrib [T, PIX] int32), T = len(tile_start).
@@ -641,8 +656,10 @@ def blend_tiles_pallas_base(
     feature (view-space depth) into the same pass — the training step's RGB and
     depth renders share identical blend weights, so one pass is exact."""
     assert channels in (3, 4), "pallas blend supports 3 (reference) or 4 (fused depth) channels"
+    if tile_ids is None:
+        tile_ids = jnp.arange(tile_start.shape[0], dtype=jnp.int32)
     raw = blend_tiles_pallas_raw(
-        pair_data, tile_start, tile_nchunks, tile_base, grid_x, grid_y, width, height, chunk, channels, interpret
+        pair_data, tile_start, tile_nchunks, tile_base, tile_ids, grid_x, grid_y, width, height, chunk, channels, interpret
     )
     if channels == 3:
         color = raw[:, 0:3, :]

@@ -38,6 +38,12 @@ class RasterConfig:
     max_per_tile: int = 2048  # static per-tile capacity of the 'jax' blend impl
     impl: str = "auto"  # 'auto' | 'pallas' | 'jax' | 'dense'
     channels: int = 3
+    # Active-tile compaction (pallas impl): blend only the non-empty tiles,
+    # bounded by this static capacity (None = dense grid). Most of a typical
+    # capture's grid is empty background; compaction skips its per-tile Pallas
+    # grid-step overhead. Overflow (more active tiles than the cap) truncates
+    # and is reported via RasterAux.num_active for the host auto-retry.
+    max_active_tiles: int | None = None
 
     def resolve_impl(self) -> str:
         if self.impl != "auto":
@@ -51,6 +57,7 @@ class RasterAux(NamedTuple):
     radii: jnp.ndarray  # [N] int32
     num_pairs: jnp.ndarray  # [] int32 (overflow if > config.max_pairs)
     num_padded: jnp.ndarray  # [] int32
+    num_active: Any = 0  # [] int32 non-empty tiles (overflow if > max_active_tiles)
 
 
 def rasterize(
@@ -87,7 +94,7 @@ def rasterize(
         out = rasterize_dense(g, W, H)
         img = out.composite(bg)
         zero = jnp.zeros((), jnp.int32)
-        return img, RasterAux(out.final_T, out.n_contrib, out.radii, zero, zero)
+        return img, RasterAux(out.final_T, out.n_contrib, out.radii, zero, zero, zero)
 
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
@@ -109,21 +116,51 @@ def rasterize(
     elif impl == "pallas":
         from gaustar_tpu.ops.blend_pallas import blend_tiles_pallas_raw
 
-        # Raw kernel state [T, 8, P] assembled to [8, H, W] in ONE relayout
-        # (color, final_T, n_contrib, fused depth all at once) — see
-        # assemble_image_cm. Slices of the [8, H, W] block are cheap views.
-        raw = blend_tiles_pallas_raw(
-            pair_data,
-            binned.tile_start,
-            binned.tile_nchunks,
-            jnp.zeros((1,), jnp.int32),
-            grid_x,
-            grid_y,
-            W,
-            H,
-            config.chunk,
-            config.channels,
-        )
+        n_tiles = grid_x * grid_y
+        num_active = (binned.tile_count > 0).sum()
+        if config.max_active_tiles is not None and config.max_active_tiles < n_tiles:
+            # ACTIVE-TILE COMPACTION: blend only non-empty tiles (static
+            # capacity), then scatter their raw states over a background-state
+            # canvas. Empty tiles' state is the kernel's own empty block
+            # (color 0, T 1, n_contrib 0), so results are identical.
+            act, _ = binning.compact_active_tiles(
+                binned.tile_count, config.max_active_tiles
+            )
+            act_c = jnp.minimum(act, n_tiles - 1)
+            raw_act = blend_tiles_pallas_raw(
+                pair_data,
+                binned.tile_start[act_c],
+                jnp.where(act < n_tiles, binned.tile_nchunks[act_c], 0),
+                jnp.zeros((1,), jnp.int32),
+                act_c,
+                grid_x,
+                grid_y,
+                W,
+                H,
+                config.chunk,
+                config.channels,
+            )
+            row = jnp.arange(8, dtype=jnp.int32)
+            empty_state = jnp.where(row == 3, 1.0, 0.0).astype(jnp.float32)
+            raw = jnp.broadcast_to(empty_state[None, :, None], (n_tiles, 8, raw_act.shape[2]))
+            raw = raw.at[act].set(raw_act, mode="drop")
+        else:
+            # Raw kernel state [T, 8, P] assembled to [8, H, W] in ONE relayout
+            # (color, final_T, n_contrib, fused depth all at once) — see
+            # assemble_image_cm. Slices of the [8, H, W] block are cheap views.
+            raw = blend_tiles_pallas_raw(
+                pair_data,
+                binned.tile_start,
+                binned.tile_nchunks,
+                jnp.zeros((1,), jnp.int32),
+                jnp.arange(n_tiles, dtype=jnp.int32),
+                grid_x,
+                grid_y,
+                W,
+                H,
+                config.chunk,
+                config.channels,
+            )
         maps = blend_jax.assemble_image_cm(raw, grid_x, grid_y, W, H)  # [8, H, W]
         if config.channels == 3:
             color_cm = maps[0:3]
@@ -139,6 +176,7 @@ def rasterize(
                 radii=g.radius,
                 num_pairs=binned.num_pairs,
                 num_padded=binned.num_padded,
+                num_active=num_active.astype(jnp.int32),
             )
             return img, aux
         color = color_cm.transpose(1, 2, 0)
@@ -154,15 +192,20 @@ def rasterize(
         radii=g.radius,
         num_pairs=binned.num_pairs,
         num_padded=binned.num_padded,
+        num_active=(binned.tile_count > 0).sum().astype(jnp.int32),
     )
     return img, aux
 
 
 def capacity_overflow(aux: RasterAux, config: RasterConfig, grid_x: int, grid_y: int) -> bool:
-    """True if the render truncated pairs (host sync: reads two scalars)."""
+    """True if the render truncated pairs or active tiles (host sync)."""
     import numpy as np
 
     if int(np.asarray(aux.num_pairs)) > config.max_pairs:
+        return True
+    if config.max_active_tiles is not None and int(
+        np.asarray(aux.num_active)
+    ) > config.max_active_tiles:
         return True
     cap = binning.default_capacity(
         config.max_pairs, grid_x * grid_y, config.chunk, config.max_padded
@@ -180,7 +223,12 @@ def grow_config(config: RasterConfig, aux: RasterAux) -> RasterConfig:
     new_padded = None
     if config.max_padded is not None:
         new_padded = max(2 * config.max_padded, need_padded)
-    return dataclasses.replace(config, max_pairs=new_pairs, max_padded=new_padded)
+    new_active = config.max_active_tiles
+    if new_active is not None:
+        new_active = max(2 * new_active, int(np.asarray(aux.num_active)))
+    return dataclasses.replace(
+        config, max_pairs=new_pairs, max_padded=new_padded, max_active_tiles=new_active
+    )
 
 
 def probe_pair_demand(means3d, cov3d, opacities, cameras, config: RasterConfig):
@@ -213,26 +261,36 @@ def probe_pair_demand(means3d, cov3d, opacities, cameras, config: RasterConfig):
             b = binning.bin_gaussians(
                 g, grid_x, grid_y, config.max_pairs, config.chunk, config.max_padded
             )
-            return carry, (b.num_pairs, b.num_padded)
+            return carry, (b.num_pairs, b.num_padded, (b.tile_count > 0).sum())
 
-        _, (n_p, n_pad) = jax.lax.scan(body, None, jnp.arange(n_cams))
-        return n_p.max(), n_pad.max()
+        _, (n_p, n_pad, n_act) = jax.lax.scan(body, None, jnp.arange(n_cams))
+        return n_p.max(), n_pad.max(), n_act.max()
 
-    n_p, n_pad = run(means3d, cov3d, opacities, cameras)
+    n_p, n_pad, n_act = run(means3d, cov3d, opacities, cameras)
     import numpy as _np
 
-    return int(_np.asarray(n_p)), int(_np.asarray(n_pad))
+    return int(_np.asarray(n_p)), int(_np.asarray(n_pad)), int(_np.asarray(n_act))
 
 
 def size_caps_to_demand(
-    config: RasterConfig, demand_pairs: int, demand_padded: int, headroom: float = 1.15
+    config: RasterConfig,
+    demand_pairs: int,
+    demand_padded: int,
+    headroom: float = 1.15,
+    demand_active: int | None = None,
 ) -> RasterConfig:
     """Config with capacities sized to measured demand x headroom (see
-    probe_pair_demand). max_pairs rounds up to 1024, max_padded to the chunk."""
+    probe_pair_demand). max_pairs rounds up to 1024, max_padded to the chunk,
+    max_active_tiles (when probed) to 256."""
     pairs = -(-int(demand_pairs * headroom) // 1024) * 1024
     padded = max(int(demand_padded * headroom), pairs)
     padded = -(-padded // config.chunk) * config.chunk
-    return dataclasses.replace(config, max_pairs=pairs, max_padded=padded)
+    active = config.max_active_tiles
+    if demand_active is not None:
+        active = -(-int(demand_active * headroom) // 256) * 256
+    return dataclasses.replace(
+        config, max_pairs=pairs, max_padded=padded, max_active_tiles=active
+    )
 
 
 def rasterize_auto(

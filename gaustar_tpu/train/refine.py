@@ -216,6 +216,7 @@ def compute_losses(
     # overflow instead of silently truncating (see refine_frame).
     loss_dict["num_pairs"] = _aux.num_pairs
     loss_dict["num_padded"] = _aux.num_padded
+    loss_dict["num_active"] = _aux.num_active
     return loss, loss_dict
 
 
@@ -412,13 +413,13 @@ def compute_losses_multi(
         )
         b_total = loss_b if b_total is None else b_total + loss_b
         for k, v in ld_b.items():
-            if k in ("num_pairs", "num_padded"):
+            if k in ("num_pairs", "num_padded", "num_active"):
                 b_dict[k] = v if k not in b_dict else jnp.maximum(b_dict[k], v)
             else:
                 b_dict[k] = v if k not in b_dict else b_dict[k] + v
     inv = 1.0 / n
     for k in b_dict:
-        if k not in ("num_pairs", "num_padded"):
+        if k not in ("num_pairs", "num_padded", "num_active"):
             b_dict[k] = b_dict[k] * inv
     return b_total * inv, b_dict
 
@@ -465,15 +466,16 @@ def compute_losses_multi_scan(
         loss_b, dict_b = pixel_losses(
             data, cam_idx, iteration, cfg, img, pred_depth, layout="cm"
         )
-        return carry, (loss_b, dict_b, aux.num_pairs, aux.num_padded)
+        return carry, (loss_b, dict_b, aux.num_pairs, aux.num_padded, aux.num_active)
 
-    _, (losses_b, dicts_b, num_pairs, num_padded) = jax.lax.scan(
+    _, (losses_b, dicts_b, num_pairs, num_padded, num_active) = jax.lax.scan(
         body, None, cam_idxs
     )
     loss = losses_b.mean()
     loss_dict = {k: v.mean() for k, v in dicts_b.items()}
     loss_dict["num_pairs"] = num_pairs.max()
     loss_dict["num_padded"] = num_padded.max()
+    loss_dict["num_active"] = num_active.max()
 
     s_loss, s_dict = shared_losses(
         params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc
@@ -617,14 +619,16 @@ def refine_frame(
     if auto_size_caps is not None:
         from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
 
-        d_pairs, d_padded = probe_pair_demand(
+        d_pairs, d_padded, d_active = probe_pair_demand(
             sugar.gaussian_centers(params, model_config),
             sugar.cov3d(params, model_config),
             sugar.strengths(params),
             data.cameras,
             raster_cfg,
         )
-        raster_cfg = size_caps_to_demand(raster_cfg, d_pairs, d_padded, auto_size_caps)
+        raster_cfg = size_caps_to_demand(
+            raster_cfg, d_pairs, d_padded, auto_size_caps, demand_active=d_active
+        )
         if log_fn:
             log_fn({"auto_caps_pairs": raster_cfg.max_pairs, "auto_caps_padded": raster_cfg.max_padded})
 
@@ -732,13 +736,25 @@ def refine_frame(
             cap = _binning.default_capacity(
                 raster_cfg.max_pairs, n_tiles, raster_cfg.chunk, raster_cfg.max_padded
             )
-            if entry["num_pairs"] > raster_cfg.max_pairs or entry["num_padded"] > cap:
+            active_over = (
+                raster_cfg.max_active_tiles is not None
+                and entry.get("num_active", 0) > raster_cfg.max_active_tiles
+            )
+            if (
+                entry["num_pairs"] > raster_cfg.max_pairs
+                or entry["num_padded"] > cap
+                or active_over
+            ):
                 new_pairs = max(2 * raster_cfg.max_pairs, int(entry["num_pairs"]))
                 new_padded = raster_cfg.max_padded
                 if new_padded is not None:
                     new_padded = max(2 * new_padded, int(entry["num_padded"]))
+                new_active = raster_cfg.max_active_tiles
+                if new_active is not None:
+                    new_active = max(2 * new_active, int(entry.get("num_active", 0)))
                 raster_cfg = dataclasses.replace(
-                    raster_cfg, max_pairs=new_pairs, max_padded=new_padded
+                    raster_cfg, max_pairs=new_pairs, max_padded=new_padded,
+                    max_active_tiles=new_active,
                 )
                 step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
                 if log_fn:

@@ -90,3 +90,37 @@ def test_pallas_empty_tiles():
     )
     corner = np.asarray(img)[0, 0]
     np.testing.assert_allclose(corner, [0.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_active_tile_compaction_matches_dense():
+    """rasterize with max_active_tiles == rasterize dense: values AND grads."""
+    import numpy as np
+    from gaustar_tpu.ops.rasterizer import RasterConfig, rasterize
+    from gaustar_tpu.utils.synthetic import random_gaussian_scene, ring_cameras
+    from gaustar_tpu.ops.projection import quat_scale_to_cov3d
+
+    means, scales, quats, opac, colors = random_gaussian_scene(300, seed=5)
+    cam = ring_cameras(1, w=96, h=64, focal=110.0)[0]
+    base = RasterConfig(max_pairs=1 << 14, chunk=32, impl="pallas")
+    compact = RasterConfig(
+        max_pairs=1 << 14, chunk=32, impl="pallas", max_active_tiles=24
+    )
+
+    def loss(cfg, m, s, q, o, c):
+        cov = quat_scale_to_cov3d(s, q)
+        img, aux = rasterize(m, cov, o, c, cam, bg=(0.1, 0.2, 0.3), config=cfg)
+        return (img * jnp.cos(jnp.arange(img.size).reshape(img.shape))).sum(), (img, aux)
+
+    args = (means, scales, quats, opac, colors)
+    (_, (img0, aux0)), g0 = jax.value_and_grad(
+        lambda *a: loss(base, *a), argnums=(0, 3), has_aux=True
+    )(*args)
+    n_act = int(aux0.num_active)
+    assert 0 < n_act <= 24, f"scene should fit the compaction cap, got {n_act}"
+    (_, (img1, aux1)), g1 = jax.value_and_grad(
+        lambda *a: loss(compact, *a), argnums=(0, 3), has_aux=True
+    )(*args)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(aux1.n_contrib), np.asarray(aux0.n_contrib))
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
