@@ -201,6 +201,18 @@ def main():
     t_start = time.time()
     params, config, data, raster_cfg = build_scene()
     data = widen_rig(data)
+    # Demand-probed capacities over the full 40-cam rig (ops/rasterizer.py) —
+    # the production sizing policy (train/refine.py auto_size_caps).
+    from gaustar_tpu.models import sugar as _sugar
+    from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
+
+    d_p, d_pad, d_act = probe_pair_demand(
+        _sugar.gaussian_centers(params, config), _sugar.cov3d(params, config),
+        _sugar.strengths(params), data.cameras, raster_cfg,
+    )
+    raster_cfg = size_caps_to_demand(raster_cfg, d_p, d_pad, 1.3, demand_active=d_act)
+    print(f"autocaps: pairs={raster_cfg.max_pairs} padded={raster_cfg.max_padded} "
+          f"active={raster_cfg.max_active_tiles}", flush=True)
     report = {
         "n_gaussians": int(params.scales.shape[0]),
         "n_faces": int(config.faces.shape[0]),
