@@ -29,6 +29,16 @@ def main():
     import optax
 
     params, config, data, raster_cfg = build_scene()
+    if os.environ.get("GAUSTAR_TRACE_AUTOCAPS", "1") != "0":
+        # Match bench.py's production sizing (probed caps + tile compaction).
+        from gaustar_tpu.models import sugar as _sugar
+        from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
+
+        d_p, d_pad, d_act = probe_pair_demand(
+            _sugar.gaussian_centers(params, config), _sugar.cov3d(params, config),
+            _sugar.strengths(params), data.cameras, raster_cfg,
+        )
+        raster_cfg = size_caps_to_demand(raster_cfg, d_p, d_pad, demand_active=d_act)
     cfg = RefineConfig(num_iterations=2000, loose_bind_from=10**9, do_sh_warmup=False)
     optimizer = make_sugar_optimizer(OptimizationParams(), 1.0)
     opt_state = optimizer.init(params)
@@ -74,20 +84,20 @@ def aggregate():
     per_op = defaultdict(float)
     counts = defaultdict(int)
     for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
+        if "TPU" not in plane.name:
             continue
         ev_names = {k: v.name for k, v in plane.event_metadata.items()}
         for line in plane.lines:
-            lname = line.name.lower()
-            # Op/XLA-module lines only; skip host/teardown/bookkeeping lines.
-            if "step" in lname and "xla" not in lname:
+            # The sync compute line only: "Async XLA Ops" (DMA copy/slice-start
+            # spans) OVERLAP compute — counting them double-books the step.
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
                 per_op[name] += ev.duration_ps / 1e9  # ms
                 counts[name] += 1
     total = sum(per_op.values())
-    print(f"\nplane total (all lines, {K} steps): {total:.1f} ms — per step {total / K:.1f}")
+    print(f"\nXLA Ops total over {K} steps: {total:.1f} ms — per step {total / K:.1f}")
     print(f"{'op':<72} {'ms/step':>9} {'n/step':>7}")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:45]:
         print(f"{name[:72]:<72} {ms / K:9.3f} {counts[name] / K:7.1f}")
