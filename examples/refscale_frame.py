@@ -231,19 +231,22 @@ def main():
     # AND again before the update; we time the post-training pass). A 1-camera
     # warmup isolates the one-time jit compile of the detection body. ---
     topo = build_topology(np.asarray(config.faces), params.points.shape[0])
+    # First call pays the one-time XLA compile of the 40-camera scan program
+    # (a 1-camera warmup would compile a DIFFERENT program — scan length is
+    # static); the second call is the pure execution wall.
     t0 = time.time()
-    from gaustar_tpu.cameras import index_camera as _ic
     detect_topo_err(
-        params, config, data.cameras, np.asarray(data.gt_depths[:1]), topo,
+        params, config, data.cameras, np.asarray(data.gt_depths), topo,
         raster_cfg, TopoDetectConfig(),
     )
-    detect_compile_s = time.time() - t0
+    detect_first_s = time.time() - t0
     t0 = time.time()
     face_w = detect_topo_err(
         params, config, data.cameras, np.asarray(data.gt_depths), topo,
         raster_cfg, TopoDetectConfig(),
     )
     detect_s = time.time() - t0
+    detect_compile_s = max(detect_first_s - detect_s, 0.0)
     n_flagged = int((face_w >= 0.6).sum())
     report["detect_compile_s"] = round(detect_compile_s, 1)
     report["detect_topo_s"] = round(detect_s, 1)

@@ -79,3 +79,30 @@ def test_downscale():
     half = cam.downscale(2)
     assert half.width == 32 and half.height == 24
     assert np.isclose(float(half.tanfovx), float(cam.tanfovx))
+
+
+def test_rig_cameras_multi_elevation():
+    """rig_cameras: n cameras over `rows` elevation rings, all looking at the
+    scene center (the ActorsHQ cylinder-rig geometry, cameras.py:20)."""
+    from gaustar_tpu.utils.synthetic import rig_cameras
+
+    n, rows = 23, 4
+    cams = rig_cameras(n, rows=rows, dist=3.0, w=64, h=48, focal=60.0, center_z=4.0)
+    assert len(cams) == n
+    center = np.array([0.0, 0.0, 4.0])
+    heights = set()
+    for cam in cams:
+        w2c = np.asarray(cam.view)
+        pos = -w2c[:3, :3].T @ w2c[:3, 3]
+        # on the capture sphere
+        assert np.isclose(np.linalg.norm(pos - center), 3.0, atol=1e-6)
+        heights.add(round(float(pos[1]), 6))
+        # optical axis (camera +z) points at the center
+        fwd = w2c[2, :3]
+        to_center = center - pos
+        to_center /= np.linalg.norm(to_center)
+        np.testing.assert_allclose(fwd, to_center, atol=1e-6)
+        # the center projects to the principal point
+        local = w2c[:3, :3] @ center + w2c[:3, 3]
+        assert abs(local[0]) < 1e-9 and abs(local[1]) < 1e-9 and local[2] > 0
+    assert len(heights) == rows
