@@ -169,9 +169,20 @@ def main():
             cam_idx = jnp.mod(it * batch + jnp.arange(batch), 4).astype(jnp.int32)
 
         def loss_fn(p):
-            from gaustar_tpu.train.refine import compute_losses_multi
+            from gaustar_tpu.train.refine import (
+                compute_losses_multi,
+                compute_losses_multi_scan,
+            )
 
-            impl = compute_losses if batch == 1 else compute_losses_multi
+            # GAUSTAR_BENCH_BATCH_IMPL: "unroll" (trace-time unroll over B;
+            # compile grows with B, XLA CSEs camera-independent work) or
+            # "scan" (lax.scan over cameras; flat compile, hoisted geometry).
+            if batch == 1:
+                impl = compute_losses
+            elif os.environ.get("GAUSTAR_BENCH_BATCH_IMPL", "unroll") == "scan":
+                impl = compute_losses_multi_scan
+            else:
+                impl = compute_losses_multi
             return impl(
                 p, config, data, cam_idx, it, cfg, raster_cfg, 2, uw, pre
             )
@@ -207,7 +218,8 @@ def main():
         "(600k gaussians, 1.6MP, RGB+depth passes, SSIM+mesh losses, Adam)"
     )
     if batch != 1:
-        metric += f" [camera batch B={batch}]"
+        b_impl = os.environ.get("GAUSTAR_BENCH_BATCH_IMPL", "unroll")
+        metric += f" [camera batch B={batch}, {b_impl}]"
     result = {
         "metric": metric,
         "value": round(mpix_s, 2),

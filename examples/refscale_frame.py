@@ -48,8 +48,16 @@ from gaustar_tpu.train.optimizer import OptimizationParams, make_sugar_optimizer
 from gaustar_tpu.train.refine import FrameData, RefineConfig, compute_losses, compute_margins
 from gaustar_tpu.train.topo_detect import TopoDetectConfig, detect_topo_err
 
-ITERS = 2000
-N_CAMS = 40
+import os
+
+# Env overrides turn this into the 160-camera GT-residency probe (VERDICT r2
+# missing #4: the reference rig is 160 cams, cameras.py:20 — 160 x 1.6 MP GT
+# is ~4.2 GB of device-resident arrays before render buffers):
+#   GAUSTAR_REFSCALE_CAMS=160 GAUSTAR_REFSCALE_ITERS=200 \
+#   GAUSTAR_REFSCALE_OUT=REFSCALE160.json python examples/refscale_frame.py
+ITERS = int(os.environ.get("GAUSTAR_REFSCALE_ITERS", "2000"))
+N_CAMS = int(os.environ.get("GAUSTAR_REFSCALE_CAMS", "40"))
+OUT_JSON = os.environ.get("GAUSTAR_REFSCALE_OUT", "REFSCALE.json")
 INNER = 50  # iterations per device call (tunnel watchdog bound, see r2 notes)
 
 
@@ -340,7 +348,7 @@ def main():
     report["steady_ms_per_iter"] = steady
     report["steady_mpix_s"] = round(W * H / (steady / 1e3) / 1e6, 2)
 
-    with open("REFSCALE.json", "w") as f:
+    with open(OUT_JSON, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items()
                       if k not in ("refine", "re_refine", "hbm")}))
