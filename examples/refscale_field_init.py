@@ -12,6 +12,7 @@ scale + wall-clock + geometric sanity, recorded in FIELD_INIT.json.
 Run: timeout 3600 python examples/refscale_field_init.py
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -67,9 +68,19 @@ def main():
     field_cfg = nf.FieldConfig(
         aabb_min=(-0.8, -0.8, 3.2), aabb_max=(0.8, 0.8, 4.8)
     )
+    # rays_per_batch 2048 (not the 8192 default): the hash-encode's per-level
+    # [N, F=2] feature temps tile to (8, 128) lanes — a 64x padding expansion —
+    # and at 131072 samples the training step's HLO temps exceed HBM (measured:
+    # 19.5 G needed of 15.75 G). 2048 rays x 16 samples fits with headroom;
+    # HumanRF itself adapts batch size to memory (trainer.py:149-178).
+    # iso_level: the reference extracts at mcubes iso=100 (trainer.py:703)
+    # AFTER its full multi-hour schedule, where interior densities saturate in
+    # the hundreds. At this harness's 1000-iteration budget the trained
+    # amplitude is smaller; iso is amplitude-relative, so extract at 10 (the
+    # density diagnostic below records the actual inside/outside levels).
     mcfg = init_mesh.InitMeshConfig(
         iterations=int(1000), grid_res=512, occupancy_res=128,
-        target_faces=100_000,
+        target_faces=100_000, rays_per_batch=2048, iso_level=10.0,
     )
 
     # NeRF training with occupancy carving (occupancy_grid_generation.cu) +
@@ -80,7 +91,27 @@ def main():
     )
     report["train_s"] = round(time.time() - t0, 1)
     occ_np = np.asarray(occ)
-    report["occupancy_fill_pct"] = round(100.0 * occ_np.mean(), 2)
+    report["occupancy_fill_pct"] = round(float(occ_np.mean()) * 100.0, 2)
+
+    # Density diagnostic: trained amplitude at known inside/surface/outside
+    # points (makes the iso choice auditable).
+    probe = np.stack([
+        CENTER,                           # deep inside
+        CENTER + [0.5 * RADIUS, 0, 0],    # inside
+        CENTER + [RADIUS, 0, 0],          # on the surface
+        CENTER + [1.5 * RADIUS, 0, 0],    # outside
+    ]).astype(np.float32)
+    dens = np.asarray(nf.query_density(params, jnp.asarray(probe), field_cfg)[0]).reshape(-1)
+    # Amplitude-relative iso: a quarter of the interior density (clamped to the
+    # config as an upper bound). The reference's fixed iso=100 encodes the same
+    # idea for ITS training budget, where interiors saturate far above 100.
+    iso = float(np.clip(0.25 * dens[1], 1.0, mcfg.iso_level))
+    mcfg = dataclasses.replace(mcfg, iso_level=iso)
+    report["density_probe"] = {
+        "center": round(float(dens[0]), 2), "inside": round(float(dens[1]), 2),
+        "surface": round(float(dens[2]), 2), "outside": round(float(dens[3]), 2),
+        "iso_level": round(iso, 2),
+    }
     print(f"field training ({mcfg.iterations} iters incl. occupancy carve): "
           f"{report['train_s']}s, occ fill {report['occupancy_fill_pct']}%", flush=True)
 
