@@ -14,6 +14,7 @@ Run: timeout 3600 python examples/refscale_field_init.py
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -79,7 +80,8 @@ def main():
     # amplitude is smaller; iso is amplitude-relative, so extract at 10 (the
     # density diagnostic below records the actual inside/outside levels).
     mcfg = init_mesh.InitMeshConfig(
-        iterations=int(1000), grid_res=512, occupancy_res=128,
+        iterations=int(os.environ.get("GAUSTAR_FIELD_ITERS", "2000")),
+        grid_res=512, occupancy_res=128,
         target_faces=100_000, rays_per_batch=2048, iso_level=10.0,
     )
 
