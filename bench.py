@@ -37,7 +37,10 @@ def _enable_jit_cache():
     full-step compile is ~6 min on the tunnel; reruns hit the disk cache."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gaustar_jit_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GAUSTAR_JIT_CACHE", "/tmp/gaustar_jit_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

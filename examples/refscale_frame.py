@@ -142,9 +142,16 @@ def make_runner(config, raster_cfg, cfg, optimizer, n_g, iters_total):
     return run
 
 
-def train_frame(params, config, data, raster_cfg, cfg, iters, rng, report_key, report):
+def train_frame(params, config, data, raster_cfg, cfg, iters, rng, report_key, report,
+                post_compile_hook=None):
     """AOT-compile the runner (compile wall reported separately), then run
-    `iters` iterations in INNER-sized device calls, timing 4 segments."""
+    `iters` iterations in INNER-sized device calls, timing 4 segments.
+    `post_compile_hook` (if given) runs right after the AOT compile, before the
+    first segment — the refscale harness uses it to launch the background
+    detection/fusion program prewarm threads so THEIR compiles overlap the
+    training wall (compile-vs-execution overlap measured in
+    /tmp probe: execution dispatch latency grows ~40 ms during a host-side
+    compile — negligible against the ~5 s INNER-chunk device calls)."""
     n_g = params.scales.shape[0]
     n_faces = config.faces.shape[0]
     pts = np.asarray(params.points)
@@ -164,6 +171,8 @@ def train_frame(params, config, data, raster_cfg, cfg, iters, rng, report_key, r
     compile_s = time.time() - t0
     print(f"[{report_key}] compile: {compile_s:.1f}s (one program, traced SH warmup)",
           flush=True)
+    if post_compile_hook is not None:
+        post_compile_hook()
 
     seg_len = max(iters // 4, 1)
     segments = []
@@ -230,10 +239,58 @@ def main():
     rng = np.random.default_rng(0)
     report["setup_s"] = round(time.time() - t_start, 1)
 
+    # Background prewarm of the detection + fusion device programs (launched
+    # right after the refine AOT compile, overlapped with the training wall):
+    # both are ~170 s tunnel compiles that round-4 runs paid SERIALLY after
+    # training (detect_compile_s 170.1 + ~170 inside fusion_s 182.4). The
+    # prewarm threads compile the exact programs the later calls dispatch
+    # (jax AOT/dispatch cache sharing; shape stability via 16-voxel dim
+    # buckets in tsdf.fit_volume_to_points).
+    import threading
+
+    from gaustar_tpu.train import topo_detect as _td
+    from gaustar_tpu.train import mesh_update as _mu
+
+    prewarm_errs = []
+
+    def _prewarm(fn, *a, **kw):
+        try:
+            fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — prewarm is best-effort
+            prewarm_errs.append(repr(e))
+
+    threads = [
+        threading.Thread(
+            target=_prewarm, daemon=True,
+            args=(_td.prewarm_detect, params, config, data.cameras,
+                  tuple(np.asarray(data.gt_depths).shape), raster_cfg,
+                  TopoDetectConfig()),
+        ),
+        threading.Thread(
+            target=_prewarm, daemon=True,
+            args=(_mu.prewarm_fusion, params, config, data.cameras, raster_cfg),
+            kwargs=dict(voxel_size=0.008, sdf_trunc=0.02, max_dim=512),
+        ),
+    ]
+
+    def start_prewarm():
+        for t in threads:
+            t.start()
+
     t_frame = time.time()
     params, _ = train_frame(
-        params, config, data, raster_cfg, cfg, ITERS, rng, "refine", report
+        params, config, data, raster_cfg, cfg, ITERS, rng, "refine", report,
+        post_compile_hook=start_prewarm,
     )
+    t0 = time.time()
+    for t in threads:
+        t.join()
+    prewarm_residual_s = time.time() - t0
+    report["prewarm_residual_s"] = round(prewarm_residual_s, 1)
+    if prewarm_errs:
+        report["prewarm_errors"] = prewarm_errs
+    print(f"prewarm residual wait after training: {prewarm_residual_s:.1f}s "
+          f"(errors: {prewarm_errs or 'none'})", flush=True)
 
     # --- detection over all 40 cams (the sequence driver runs this mid-refine
     # AND again before the update; we time the post-training pass). A 1-camera

@@ -256,6 +256,13 @@ def fit_volume_to_points(points, voxel_size: float, sdf_trunc: float, pad: float
     lo = points.min(axis=0) - pad
     hi = points.max(axis=0) + pad
     needed = np.ceil((hi - lo) / voxel_size).astype(int) + 1
+    # Bucket dims up to a multiple of 16: the extra voxels are never observed
+    # (weight stays 0, excluded from extraction), and STABLE dims mean the
+    # fusion program's shapes survive the mm-scale point drift between an
+    # AOT prewarm mid-refine (mesh_update.prewarm_fusion) and the real fusion
+    # call after training — so the ~170 s tunnel compile can hide under the
+    # training wall instead of recompiling for a one-voxel bbox change.
+    needed = (needed + 15) // 16 * 16
     dims = np.minimum(needed, max_dim)
     truncated = bool((needed > max_dim).any())
     if truncated:

@@ -30,7 +30,13 @@ _PRIMES = (1, 2654435761, 805459861)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HashGridParams:
-    tables: Any  # [L, T, F] feature tables
+    # FEATURE-MAJOR tables: per level, F independent [T] vectors. tiny-cuda-nn
+    # stores interleaved [T, F] rows (hash-gather of F-wide rows); on TPU a
+    # [T, F=2] gather operand tiles to (8, 128) — the 2 features pad to 128
+    # lanes, a 64x VMEM/bandwidth expansion that capped 512^3-scale ray
+    # batches at ~2k rays (ROADMAP r4). F separate 1-D gathers from [T]
+    # vectors keep dense (8, 128) tiling over T at the same descriptor count.
+    tables: Any  # [L, F, T] feature tables
     mlp_sigma: Any  # dict of dense layers
     mlp_color: Any
 
@@ -52,7 +58,11 @@ class FieldConfig:
 
 def init_field(cfg: FieldConfig, seed: int = 0) -> HashGridParams:
     rng = np.random.default_rng(seed)
-    tables = rng.uniform(-1e-4, 1e-4, size=(cfg.n_levels, cfg.table_size, cfg.n_features)).astype(np.float32)
+    # Drawn in the legacy [L, T, F] order then transposed, so each (level,
+    # slot, feature) init value is unchanged by the feature-major relayout.
+    tables = rng.uniform(
+        -1e-4, 1e-4, size=(cfg.n_levels, cfg.table_size, cfg.n_features)
+    ).astype(np.float32).transpose(0, 2, 1)
     in_dim = cfg.n_levels * cfg.n_features
 
     def dense(i, o):
@@ -78,7 +88,12 @@ def init_field(cfg: FieldConfig, seed: int = 0) -> HashGridParams:
 
 
 def hash_encode(tables, pts01, cfg: FieldConfig):
-    """Multi-res hash encoding: pts01 [N, 3] in [0, 1] -> [N, L*F]."""
+    """Multi-res hash encoding: pts01 [N, 3] in [0, 1] -> [N, L*F].
+
+    `tables` is feature-major [L, F, T] (see HashGridParams): each feature is
+    gathered as a 1-D [T]-vector lookup — dense TPU tiling; the interleaved
+    [T, F] row-gather form pads F to 128 lanes. The backward (scatter-add into
+    the tables during field training) is 1-D for the same reason."""
     n = pts01.shape[0]
     growth = (
         np.exp(np.log(cfg.max_res / cfg.base_res) / max(cfg.n_levels - 1, 1))
@@ -102,12 +117,17 @@ def hash_encode(tables, pts01, cfg: FieldConfig):
             ^ cidx[..., 2] * jnp.uint32(np.uint32(_PRIMES[2]))
         ) % jnp.uint32(cfg.table_size)
         h = h.astype(jnp.int32)
-        f = tables[lvl][h]  # [N, 8, F]
         w = jnp.prod(
             jnp.where(corners_j[None] == 1, frac[:, None, :], 1.0 - frac[:, None, :]),
             axis=-1,
         )  # [N, 8]
-        feats.append((f * w[..., None]).sum(axis=1))
+        lvl_tab = tables[lvl]  # [F, T]
+        feats.append(
+            jnp.stack(
+                [(lvl_tab[fi][h] * w).sum(axis=1) for fi in range(cfg.n_features)],
+                axis=-1,
+            )  # [N, F] — same per-feature corner-sum order as the row form
+        )
     return jnp.concatenate(feats, axis=-1)
 
 
@@ -362,7 +382,7 @@ class Field4DParams:
                          + hash_yzt(y,z,t) * vec_x(x) + hash_xzt(x,z,t) * vec_y(y)
     """
 
-    tables: Any  # [4, L, T, F] hash tables per projection
+    tables: Any  # [4, L, F, T] feature-major hash tables per projection
     vectors: Any  # [4, R, L*F] 1D vectors over the left-out coordinate
     mlp_sigma: Any
     mlp_color: Any
@@ -376,10 +396,11 @@ def init_field4d(cfg: FieldConfig, vector_res: int = 64, seed: int = 0) -> Field
     rng = np.random.default_rng(seed + 1)
     tables = np.stack(
         [
-            rng.uniform(-1e-4, 1e-4, size=(cfg.n_levels, cfg.table_size, cfg.n_features)).astype(np.float32)
+            rng.uniform(-1e-4, 1e-4, size=(cfg.n_levels, cfg.table_size, cfg.n_features))
+            .astype(np.float32).transpose(0, 2, 1)
             for _ in range(4)
         ]
-    )
+    )  # [4, L, F, T] feature-major (see HashGridParams)
     vectors = np.ones((4, vector_res, cfg.n_levels * cfg.n_features), np.float32)
     return Field4DParams(
         tables=jnp.asarray(tables),

@@ -146,6 +146,69 @@ def _fusion_integrate_all(
     return vol
 
 
+def _fusion_solid_params(params, solid_opacity):
+    """Saturate opacities for the fusion renders (see extract_mesh_fusion)."""
+    if solid_opacity is None:
+        return params
+    import dataclasses as _dc
+
+    from gaustar_tpu.utils.general import inverse_sigmoid
+
+    return _dc.replace(
+        params,
+        densities=jnp.full_like(params.densities, inverse_sigmoid(solid_opacity)),
+    )
+
+
+def _fusion_cam_stack(pts: np.ndarray, cameras: Camera, use_orbit_cameras: bool):
+    """The fusion view list: 72 orbit renders (12 azimuths x 6 elevations,
+    cameras.orbit_cameras) prepended to the rig (refined_mesh.py:311-340),
+    stacked for the lax.scan dispatch."""
+    cam_list = []
+    n_rig = np.asarray(cameras.fx).shape[0]
+    for i in range(n_rig):
+        cam_list.append(index_camera(cameras, i))
+    if use_orbit_cameras:
+        center = pts.mean(axis=0)
+        c0 = cam_list[0]
+        dist = 3.0
+        orbit = orbit_cameras(
+            center, dist, c0.width, c0.height, float(np.asarray(c0.fx)), n_azim=12
+        )
+        cam_list = orbit + cam_list
+    return stack_cameras(cam_list)
+
+
+def prewarm_fusion(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    cameras: Camera,  # batched rig cameras
+    raster_cfg: RasterConfig,
+    voxel_size: float = 0.008,
+    sdf_trunc: float = 0.02,
+    depth_trunc: float = 6.0,
+    use_orbit_cameras: bool = True,
+    max_dim: int = 512,
+    solid_opacity: float | None = None,
+) -> None:
+    """AOT-compile extract_mesh_fusion's single-scan device program for the
+    current scene shapes WITHOUT executing it (jax>=0.9 shares the AOT
+    executable with the normal dispatch path). Meant to run in a background
+    thread during the refine loop so the ~170 s tunnel compile hides under the
+    training wall. Volume dims are bucketed to multiples of 16 voxels
+    (tsdf.fit_volume_to_points), so the mm-scale point drift between prewarm
+    and the post-training fusion call keeps the same program; a drift across a
+    bucket boundary merely recompiles (correctness unaffected)."""
+    p = _fusion_solid_params(params, solid_opacity)
+    pts = np.asarray(sugar.gaussian_centers(p, config))
+    vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
+    cams = _fusion_cam_stack(pts, cameras, use_orbit_cameras)
+    _fusion_integrate_all.lower(
+        vol, p, config, cams, jnp.float32(depth_trunc), raster_cfg,
+        config.sh_levels - 1,
+    ).compile()
+
+
 def extract_mesh_fusion(
     params: sugar.SuGaRParams,
     config: sugar.SuGaRConfig,
@@ -168,36 +231,16 @@ def extract_mesh_fusion(
     reference never needs this (fusion runs after the full 2000-iteration
     budget where opacity-reg has saturated opacities); short-budget runs do.
     None = trained opacities (reference behavior)."""
-    if solid_opacity is not None:
-        import dataclasses as _dc
-
-        from gaustar_tpu.utils.general import inverse_sigmoid
-
-        params = _dc.replace(
-            params,
-            densities=jnp.full_like(params.densities, inverse_sigmoid(solid_opacity)),
-        )
+    params = _fusion_solid_params(params, solid_opacity)
     pts = np.asarray(sugar.gaussian_centers(params, config))
     vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
     volume_truncated = bool(getattr(vol, "truncated", False))  # jit copies drop the flag
 
-    cam_list = []
-    n_rig = np.asarray(cameras.fx).shape[0]
-    for i in range(n_rig):
-        cam_list.append(index_camera(cameras, i))
-    if use_orbit_cameras:
-        center = pts.mean(axis=0)
-        c0 = cam_list[0]
-        dist = 3.0
-        orbit = orbit_cameras(
-            center, dist, c0.width, c0.height, float(np.asarray(c0.fx)), n_azim=12
-        )
-        cam_list = orbit + cam_list
-
+    cams = _fusion_cam_stack(pts, cameras, use_orbit_cameras)
     sh_deg = config.sh_levels - 1
     trunc = jnp.float32(depth_trunc)
     vol = _fusion_integrate_all(
-        vol, params, config, stack_cameras(cam_list), trunc, raster_cfg, sh_deg
+        vol, params, config, cams, trunc, raster_cfg, sh_deg
     )
 
     verts, faces, colors = tsdf.extract_mesh(vol)

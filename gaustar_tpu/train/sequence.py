@@ -88,6 +88,13 @@ class SequenceConfig:
     # (the CUDA path's exact per-call sizing, rasterizer_impl.cu:277-303).
     # None = use raster_cfg's capacities as-is.
     auto_size_caps: float | None = None
+    # Background AOT prewarm of the detection + fusion device programs while
+    # the refine loop trains (topo_detect.prewarm_detect /
+    # mesh_update.prewarm_fusion): their ~170 s first-frame tunnel compiles
+    # hide under the training wall instead of serializing after it. The
+    # reference pays no per-frame kernel compiles (CUDA is built at install
+    # time); this is the TPU equivalent. No effect on results.
+    prewarm_programs: bool = True
 
 
 def _recolor_new_vertices(um, track_face_mask, cams, gt_images, gt_depths,
@@ -168,6 +175,47 @@ def _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area, 
     return data
 
 
+_PREWARM_THREADS: list = []
+
+
+def _start_prewarm(seq, params, config, data, raster_cfg, dcfg):
+    """Launch the background AOT compile of the detection + fusion programs
+    (see SequenceConfig.prewarm_programs). Serial in one thread — concurrent
+    XLA compiles contend at the host and finish LATER in aggregate (measured);
+    overlap with device execution is what pays. Best-effort: any error is
+    swallowed (the real call would then just compile inline as before)."""
+    import threading
+
+    def work():
+        try:
+            topo_detect.prewarm_detect(
+                params, config, data.cameras,
+                tuple(np.asarray(data.gt_depths).shape), raster_cfg, dcfg,
+            )
+            mesh_update.prewarm_fusion(
+                params, config, data.cameras, raster_cfg,
+                voxel_size=seq.fusion_voxel_size,
+                sdf_trunc=seq.fusion_sdf_trunc,
+                depth_trunc=seq.fusion_depth_trunc,
+                use_orbit_cameras=seq.fusion_use_orbit,
+                max_dim=seq.fusion_max_dim,
+                solid_opacity=seq.fusion_solid_opacity,
+            )
+        except Exception:  # noqa: BLE001
+            pass
+
+    t = threading.Thread(target=work, daemon=True, name="gaustar-prewarm")
+    t.start()
+    _PREWARM_THREADS.append(t)
+
+
+def join_prewarm(timeout: float | None = None) -> None:
+    """Wait for outstanding prewarm threads (run_sequence calls this before
+    the fusion/detection stage; tests may call it for determinism)."""
+    while _PREWARM_THREADS:
+        _PREWARM_THREADS.pop().join(timeout)
+
+
 def refine_one_frame(
     seq: SequenceConfig,
     frame: int,
@@ -244,6 +292,9 @@ def refine_one_frame(
                 p, c, data.cameras, np.asarray(data.gt_depths), topo, raster_cfg, dcfg
             )
 
+        if seq.prewarm_programs:
+            _start_prewarm(seq, params, config, data, raster_cfg, dcfg)
+
     # Scalar event stream per frame (TB-equivalent, utils/logging.py): the
     # reference writes TensorBoard scalars (gaussian_splatting/train.py:170-209);
     # here a mergeable JSONL file next to the frame's outputs.
@@ -315,6 +366,7 @@ def run_sequence(
 
         # --- mesh update if unbound (train_seq.py:150-213) ---
         if config.loose_bind and not seq.disable_mesh_update:
+            join_prewarm()
             fusion = mesh_update.extract_mesh_fusion(
                 params, config, data.cameras, raster_cfg,
                 voxel_size=seq.fusion_voxel_size,

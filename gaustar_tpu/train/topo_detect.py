@@ -191,6 +191,31 @@ def _detect_cam_body(
     return jnp.where(visual, vert_loss, 0.0), visual
 
 
+def prewarm_detect(
+    params: sugar.SuGaRParams,
+    config: sugar.SuGaRConfig,
+    cameras: Camera,  # batched
+    gt_shape: tuple,  # (C, H, W)
+    raster_cfg: RasterConfig,
+    cfg: TopoDetectConfig = TopoDetectConfig(),
+) -> None:
+    """AOT-compile the whole-rig detection program for these shapes, without
+    executing it. jax>=0.9 shares the AOT executable with the normal dispatch
+    path, so a later detect_topo_err(...) with matching shapes/statics skips
+    its ~170 s tunnel compile. Run this from a background thread while the
+    refine loop trains: compiles contend only at the host, and training
+    dispatches are coarse (seconds of device work each), so the compile wall
+    hides under the training wall (measured in examples/refscale_frame.py).
+
+    Only shapes/dtypes of `params` matter (detect_topo_err's solid_opacity
+    densities-replace is shape-preserving), so mid-training params are fine.
+    """
+    gt_sds = jax.ShapeDtypeStruct(tuple(gt_shape), jnp.float32)
+    _detect_all_cams.lower(
+        params, config, cameras, gt_sds, raster_cfg, cfg
+    ).compile()
+
+
 def detect_topo_err(
     params: sugar.SuGaRParams,
     config: sugar.SuGaRConfig,
