@@ -69,10 +69,14 @@ def main():
     field_cfg = nf.FieldConfig(
         aabb_min=(-0.8, -0.8, 3.2), aabb_max=(0.8, 0.8, 4.8)
     )
-    # rays_per_batch 2048 (not the 8192 default): the hash-encode's per-level
-    # [N, F=2] feature temps tile to (8, 128) lanes — a 64x padding expansion —
-    # and at 131072 samples the training step's HLO temps exceed HBM (measured:
-    # 19.5 G needed of 15.75 G). 2048 rays x 16 samples fits with headroom;
+    # rays_per_batch: before the feature-major table relayout
+    # (models/neural_field.py HashGridParams) the interleaved [N, F=2]
+    # per-level temps tiled to (8, 128) lanes — 64x padding — and batches
+    # above ~2k rays OOM'd at this scale (19.5 G needed of 15.75 G). With
+    # 1-D per-feature gathers that padding is gone; the measured batch
+    # ceiling/throughput curve is FIELD_BATCH.json
+    # (examples/profile_field_batch.py). Default stays 2048 so FIELD_INIT.json
+    # remains comparable across rounds; raise via GAUSTAR_FIELD_RAYS.
     # HumanRF itself adapts batch size to memory (trainer.py:149-178).
     # iso_level: the reference extracts at mcubes iso=100 (trainer.py:703)
     # AFTER its full multi-hour schedule, where interior densities saturate in
@@ -82,7 +86,9 @@ def main():
     mcfg = init_mesh.InitMeshConfig(
         iterations=int(os.environ.get("GAUSTAR_FIELD_ITERS", "2000")),
         grid_res=512, occupancy_res=128,
-        target_faces=100_000, rays_per_batch=2048, iso_level=10.0,
+        target_faces=100_000,
+        rays_per_batch=int(os.environ.get("GAUSTAR_FIELD_RAYS", "2048")),
+        iso_level=10.0,
     )
 
     # NeRF training with occupancy carving (occupancy_grid_generation.cu) +
