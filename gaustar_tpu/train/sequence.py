@@ -95,6 +95,17 @@ class SequenceConfig:
     # reference pays no per-frame kernel compiles (CUDA is built at install
     # time); this is the TPU equivalent. No effect on results.
     prewarm_programs: bool = True
+    # Face-count bucketing + traced hyperparameters (train/bucketing.py,
+    # refine.TracedGates): pad faces (and vertices) to bucket multiples with
+    # exactly-culled degenerate geometry and move the per-frame refine
+    # constants into traced arguments, so ONE compiled step program serves
+    # every frame AND the post-update re-refine (today each new face count
+    # recompiles ~170 s over the axon tunnel; the reference pays zero).
+    # Loss values/gradients are identical (masked means normalize by real
+    # counts). None = off; 16384 is the production default at reference scale
+    # (100k faces pad by <= 16%); tiny test scenes should pass a small bucket
+    # or None.
+    face_bucket: int | None = 16384
 
 
 def _recolor_new_vertices(um, track_face_mask, cams, gt_images, gt_depths,
@@ -178,7 +189,8 @@ def _build_frame_data(cams, gt_images, gt_depths, topo, ref_edge_len, ref_area, 
 _PREWARM_THREADS: list = []
 
 
-def _start_prewarm(seq, params, config, data, raster_cfg, dcfg):
+def _start_prewarm(seq, params, config, data, raster_cfg, dcfg,
+                   refine_cfg=None, step_raster=None):
     """Launch the background AOT compile of the detection + fusion programs
     (see SequenceConfig.prewarm_programs). Serial in one thread — concurrent
     XLA compiles contend at the host and finish LATER in aggregate (measured);
@@ -188,18 +200,56 @@ def _start_prewarm(seq, params, config, data, raster_cfg, dcfg):
 
     def work():
         try:
+            loose_cfg = dataclasses.replace(config, loose_bind=True)
+            # The LOOSE-BIND train-step variant first: the one-time unbind
+            # event (refine.py:720-737) flips the static loose_bind flag
+            # MID-frame and rebuilds the step — without prewarm that compile
+            # serializes inside the training loop. Traced-hparams mode only
+            # (lr/gate values are traced there, so any spatial_lr_scale
+            # lowers the identical program).
+            if (
+                refine_cfg is not None
+                and refine_cfg.traced_hparams
+                and not config.loose_bind
+            ):
+                import jax
+
+                from gaustar_tpu.train.optimizer import (
+                    OptimizationParams, make_adam_direction,
+                )
+
+                opt = make_adam_direction()
+                ostate = jax.eval_shape(opt.init, params)
+                st = refine.make_train_step(
+                    loose_cfg, data, refine_cfg, step_raster or raster_cfg, opt,
+                    opt_params=OptimizationParams(iterations=refine_cfg.num_iterations),
+                    spatial_lr_scale=1.0,
+                )
+                st.prewarm(params, ostate)
+
+            gt_shape = tuple(np.asarray(data.gt_depths).shape)
+            # Mid-refine detection runs before unbind → loose_bind=False.
             topo_detect.prewarm_detect(
-                params, config, data.cameras,
-                tuple(np.asarray(data.gt_depths).shape), raster_cfg, dcfg,
+                params, config, data.cameras, gt_shape, raster_cfg, dcfg,
             )
+            # Fusion and the post-refine detect only run AFTER the model
+            # loose-bound (run_sequence's `if config.loose_bind:` branch), and
+            # loose_bind is a STATIC jit field (sugar.SuGaRConfig) — a
+            # different executable cache key. Prewarm the loose variants or
+            # their ~170 s compiles serialize inline after join_prewarm()
+            # (ADVICE r4). SuGaRParams always carries delta_t/delta_r, so
+            # shapes match and mid-training params are fine.
             mesh_update.prewarm_fusion(
-                params, config, data.cameras, raster_cfg,
+                params, loose_cfg, data.cameras, raster_cfg,
                 voxel_size=seq.fusion_voxel_size,
                 sdf_trunc=seq.fusion_sdf_trunc,
                 depth_trunc=seq.fusion_depth_trunc,
                 use_orbit_cameras=seq.fusion_use_orbit,
                 max_dim=seq.fusion_max_dim,
                 solid_opacity=seq.fusion_solid_opacity,
+            )
+            topo_detect.prewarm_detect(
+                params, loose_cfg, data.cameras, gt_shape, raster_cfg, dcfg,
             )
         except Exception:  # noqa: BLE001
             pass
@@ -271,6 +321,25 @@ def refine_one_frame(
         cams, gt_images, gt_depths, topo, ref_edge_len, ref_area, faces=mesh_faces
     )
 
+    if seq.face_bucket:
+        # Compile-reuse mode (SequenceConfig.face_bucket): pad model + frame
+        # tables to the bucket; the refine step runs with traced hyperparams.
+        from gaustar_tpu.train import bucketing
+
+        params, config = bucketing.pad_sugar(
+            params, config, seq.face_bucket, vert_bucket=max(seq.face_bucket // 2, 16)
+        )
+        data = bucketing.pad_frame_tables(
+            data, np.asarray(mesh_faces), int(config.faces.shape[0]),
+            edge_bucket=seq.face_bucket * 2,
+        )
+        if pre_sh is not None:
+            n_pad = int(params.scales.shape[0]) - len(np.asarray(pre_sh))
+            if n_pad > 0:
+                pre_sh = np.concatenate(
+                    [np.asarray(pre_sh), np.zeros((n_pad, 3), np.float32)], axis=0
+                )
+
     iters = num_iterations or seq.refinement_iterations
     cfg = refine.RefineConfig(
         num_iterations=iters,
@@ -281,19 +350,48 @@ def refine_one_frame(
         loose_bind_from=(iters // 2) if (enable_unbind and not seq.disable_mesh_update) else 999_999,
         unbind_threshold=seq.unbind_threshold,
         max_depth=seq.max_depth,
+        traced_hparams=bool(seq.face_bucket),
     )
 
+    # With auto_size_caps the step capacities are probed HERE (not inside
+    # refine_frame) so the background loose-step prewarm compiles the same
+    # program the training loop will run. Quantized in bucketed mode so
+    # frame-to-frame demand drift keeps the shapes (ops/rasterizer.py).
+    step_raster = raster_cfg
+    if seq.auto_size_caps is not None:
+        from gaustar_tpu.ops.rasterizer import probe_pair_demand, size_caps_to_demand
+
+        d_pairs, d_padded, d_active = probe_pair_demand(
+            sugar.gaussian_centers(params, config),
+            sugar.cov3d(params, config),
+            sugar.strengths(params),
+            data.cameras,
+            raster_cfg,
+        )
+        step_raster = size_caps_to_demand(
+            raster_cfg, d_pairs, d_padded, seq.auto_size_caps,
+            demand_active=d_active,
+            quantize=(1 << 16) if seq.face_bucket else None,
+        )
+
     detect_fn = None
+    _log_holder: list = [None]  # filled with the MetricLogger's log_fn below
     if enable_unbind and not seq.disable_mesh_update:
         dcfg = detect_cfg or topo_detect.TopoDetectConfig(max_depth=seq.max_depth)
 
         def detect_fn(p, c):
-            return topo_detect.detect_topo_err(
+            fw = topo_detect.detect_topo_err(
                 p, c, data.cameras, np.asarray(data.gt_depths), topo, raster_cfg, dcfg
             )
+            # Coverage observability into the frame's metric stream (VERDICT
+            # r4: all-zero detection must leave a signal).
+            if _log_holder[0] is not None and topo_detect.last_telemetry is not None:
+                _log_holder[0]({"step": -1, **topo_detect.last_telemetry.as_dict()})
+            return fw
 
         if seq.prewarm_programs:
-            _start_prewarm(seq, params, config, data, raster_cfg, dcfg)
+            _start_prewarm(seq, params, config, data, raster_cfg, dcfg,
+                           refine_cfg=cfg, step_raster=step_raster)
 
     # Scalar event stream per frame (TB-equivalent, utils/logging.py): the
     # reference writes TensorBoard scalars (gaussian_splatting/train.py:170-209);
@@ -305,19 +403,20 @@ def refine_one_frame(
 
         logger = MetricLogger(metrics_path, run_meta={"frame": frame, "iters": iters})
         log_fn = logger.as_log_fn()
+        _log_holder[0] = log_fn
     try:
         params, config, history = refine.refine_frame(
             params,
             config,
             data,
             cfg,
-            raster_cfg,
+            step_raster,
             spatial_lr_scale=seq.spatial_lr_scale,
             detect_topo_fn=detect_fn,
             pre_sh_dc=None if pre_sh is None else jnp.asarray(pre_sh),
             config_dump_path=config_dump_path,
             log_fn=log_fn,
-            auto_size_caps=seq.auto_size_caps,
+            auto_size_caps=None,  # probed above (step_raster)
         )
     finally:
         if logger is not None:
@@ -356,6 +455,7 @@ def run_sequence(
             seq.data_root, f_idx, n_cams, seq.from_humanrf, seq.max_depth
         )
 
+        n_real_verts, n_real_faces = len(verts), len(faces)
         params, config, data, topo, _ = refine_one_frame(
             seq, f_idx, verts, faces, colors, cams, gt_images, gt_depths,
             raster_cfg, is_first, pre_sh=pre_sh, detect_cfg=detect_cfg,
@@ -364,9 +464,20 @@ def run_sequence(
             init_sh=prev_sh_full,
         )
 
+        def _unpadded(p, c, nv):
+            """Strip bucketing padding for host-side surgery/exports."""
+            if c.face_mask is None:
+                return p, c
+            from gaustar_tpu.train import bucketing
+
+            return bucketing.unpad_sugar(p, c, n_verts=nv)
+
         # --- mesh update if unbound (train_seq.py:150-213) ---
         if config.loose_bind and not seq.disable_mesh_update:
             join_prewarm()
+            # Fusion + detection run on the (possibly padded) model — padding
+            # gaussians are opacity-culled exactly, and these shapes match the
+            # background prewarm's.
             fusion = mesh_update.extract_mesh_fusion(
                 params, config, data.cameras, raster_cfg,
                 voxel_size=seq.fusion_voxel_size,
@@ -381,9 +492,10 @@ def run_sequence(
             face_w = topo_detect.detect_topo_err(
                 params, config, data.cameras, np.asarray(data.gt_depths), topo,
                 raster_cfg, dcfg,
-            )
+            )[:n_real_faces]
+            u_params, u_config = _unpadded(params, config, n_real_verts)
             out = mesh_update.update_mesh_with_fusion(
-                params, config, fusion, face_w,
+                u_params, u_config, fusion, face_w,
                 force_watertight=seq.force_watertight,
                 boundary_pad=seq.boundary_pad,
                 cc_face_threshold=seq.update_cc_face_threshold,
@@ -412,24 +524,28 @@ def run_sequence(
                     num_iterations=seq.refinement_iterations // 2,
                     enable_unbind=False,
                 )
+                n_real_verts, n_real_faces = len(um.verts), len(um.faces)
 
         # --- exports (refine.py:845-864, refined_mesh.py:1223-1228) ---
+        # Always from the UNPADDED model: checkpoints/plys/meshes carry only
+        # real geometry regardless of the bucketing mode.
+        e_params, e_config = _unpadded(params, config, n_real_verts)
         ckpt_io.save_sugar(
-            os.path.join(fdir, f"{seq.refinement_iterations}.npz"), params, config
+            os.path.join(fdir, f"{seq.refinement_iterations}.npz"), e_params, e_config
         )
-        ckpt_io.export_refined_ply(os.path.join(fdir, f"{f_idx:04d}.ply"), params, config)
-        color_mesh = mesh_update.get_color_mesh(params, config)
+        ckpt_io.export_refined_ply(os.path.join(fdir, f"{f_idx:04d}.ply"), e_params, e_config)
+        color_mesh = mesh_update.get_color_mesh(e_params, e_config)
         vc = _face_colors_to_vertex(color_mesh)
         write_obj(
             os.path.join(fdir, "color_mesh.obj"), color_mesh.verts, color_mesh.faces, vc
         )
 
-        pre_sh = np.asarray(params.sh_dc)[:, 0, :]
+        pre_sh = np.asarray(e_params.sh_dc)[:, 0, :]
         # Full-SH checkpoint prior for the next frame. If the mesh was updated
         # this frame, params already live on the updated topology — the same
         # mesh the warp carries forward — so the mapping through face_corr is
         # implicit (the re-refine re-bound to the updated faces).
-        prev_sh_full = (np.asarray(params.sh_dc), np.asarray(params.sh_rest))
+        prev_sh_full = (np.asarray(e_params.sh_dc), np.asarray(e_params.sh_rest))
         prev_color_mesh = color_mesh
 
         # --- warp to next frame (train_seq.py:242-245) ---
@@ -449,6 +565,12 @@ def run_sequence(
             out_dir = os.path.join(seq.work_root, f"{next_f:04d}", "coarse_mesh")
             os.makedirs(out_dir, exist_ok=True)
             write_obj(os.path.join(out_dir, "warp_smooth.obj"), warped, color_mesh.faces, vc)
+
+        # Drain this frame's prewarm thread before the next frame starts its
+        # own: on no-topology-change frames nothing else joins it, and two
+        # concurrent XLA compiles contend at the host (the exact situation
+        # _start_prewarm documents avoiding; ADVICE r4).
+        join_prewarm()
 
 
 def _face_colors_to_vertex(mesh) -> np.ndarray:
