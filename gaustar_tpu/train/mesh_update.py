@@ -201,10 +201,12 @@ def prewarm_fusion(
     bucket boundary merely recompiles (correctness unaffected)."""
     p = _fusion_solid_params(params, solid_opacity)
     pts = np.asarray(sugar.gaussian_centers(p, config))
-    vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
+    plan = tsdf.fit_tiled_volume(pts, voxel_size, sdf_trunc, pad=0.06, max_block=max_dim)
     cams = _fusion_cam_stack(pts, cameras, use_orbit_cameras)
+    # All blocks share one shape, so lowering block 0 warms the program for
+    # every block of a tiled fusion too.
     _fusion_integrate_all.lower(
-        vol, p, config, cams, jnp.float32(depth_trunc), raster_cfg,
+        plan.make_block(0), p, config, cams, jnp.float32(depth_trunc), raster_cfg,
         config.sh_levels - 1,
     ).compile()
 
@@ -233,17 +235,31 @@ def extract_mesh_fusion(
     None = trained opacities (reference behavior)."""
     params = _fusion_solid_params(params, solid_opacity)
     pts = np.asarray(sugar.gaussian_centers(params, config))
-    vol = tsdf.fit_volume_to_points(pts, voxel_size, sdf_trunc, pad=0.06, max_dim=max_dim)
-    volume_truncated = bool(getattr(vol, "truncated", False))  # jit copies drop the flag
+    # Tiled volume: scenes exceeding max_block^3 split into uniform blocks and
+    # NOTHING is dropped (the o3d ScalableTSDFVolume behavior; VERDICT r4
+    # item 6 removed the old max_dim silent-truncation mode). Human-scale
+    # captures get one block = the previous dense fast path, same dims.
+    plan = tsdf.fit_tiled_volume(pts, voxel_size, sdf_trunc, pad=0.06, max_block=max_dim)
 
     cams = _fusion_cam_stack(pts, cameras, use_orbit_cameras)
     sh_deg = config.sh_levels - 1
     trunc = jnp.float32(depth_trunc)
-    vol = _fusion_integrate_all(
-        vol, params, config, cams, trunc, raster_cfg, sh_deg
-    )
+    # One block lives in HBM at a time (a 512^3 block is ~2.5 GB with color);
+    # each block re-renders the views inside its own single-scan dispatch —
+    # renders are ~5 s of device work per block, negligible vs. keeping B
+    # blocks resident.
+    host_blocks = []
+    for b in range(plan.n_blocks):
+        vol = _fusion_integrate_all(
+            plan.make_block(b), params, config, cams, trunc, raster_cfg, sh_deg
+        )
+        host_blocks.append(
+            (np.asarray(vol.tsdf), np.asarray(vol.weight), np.asarray(vol.color))
+        )
+        del vol
 
-    verts, faces, colors = tsdf.extract_mesh(vol)
+    verts, faces, colors = tsdf.extract_mesh_tiled(plan, host_blocks)
+    volume_truncated = False  # tiling covers the full bbox; kept for API compat
     if smooth and len(faces):
         from gaustar_tpu import native
 
