@@ -100,6 +100,12 @@ class SuGaRConfig:
     # be a precomputed segment-sum instead of a ~7 ms/step scatter-add. None
     # falls back to the plain gather (same values, XLA's default VJP).
     face_gather: Any = dataclasses.field(default=None)
+    # Optional [F] 0/1 float mask for face-count BUCKETING (train/bucketing.py):
+    # faces are padded to a bucket size with degenerate (0,0,0) faces whose
+    # gaussians carry ~0 opacity (culled by the rasterizer preprocess exactly);
+    # losses normalize by the mask sum so values match the unpadded model, and
+    # ONE compiled program serves every face count in the bucket.
+    face_mask: Any = dataclasses.field(default=None)
 
 
 def init_sugar(
@@ -331,8 +337,16 @@ def covariance6(
     r0, r1, r2 = _frame_cols_soa(params, config, v)
     s = scaling(params, config)  # [N, 3]
     if use_solid_surface:
-        # raise small in-plane scales to their mean (sugar_model.py:1230-1232)
-        mean_scale = s[:, 1:].mean()
+        # raise small in-plane scales to their mean (sugar_model.py:1230-1232);
+        # with bucketing, the mean runs over REAL gaussians only (padded ones
+        # are opacity-culled, but their clamped scales would bias the mean).
+        if config.face_mask is not None:
+            gm = gaussian_mask(config)
+            mean_scale = (s[:, 1:] * gm[:, None]).sum() / jnp.maximum(
+                2.0 * gm.sum(), 1.0
+            )
+        else:
+            mean_scale = s[:, 1:].mean()
         s = jnp.concatenate([s[:, :1], jnp.maximum(s[:, 1:], mean_scale)], axis=-1)
     ng = config.n_gaussians_per_face
     s2 = [(s[:, i] ** 2).reshape(-1, ng) for i in range(3)]
@@ -412,6 +426,15 @@ def points_rgb(
         )
     shc = sh_coordinates(params)[:, : (sh_deg + 1) ** 2]
     return sh_ops.sh_to_rgb(sh_deg, shc, positions, camera_center)
+
+
+def gaussian_mask(config: SuGaRConfig) -> jnp.ndarray:
+    """[N] 0/1 float mask of real (non-padding) gaussians; ones if unbucketed."""
+    ng = config.n_gaussians_per_face
+    f = config.faces.shape[0]
+    if config.face_mask is None:
+        return jnp.ones((f * ng,), jnp.float32)
+    return jnp.broadcast_to(config.face_mask[:, None], (f, ng)).reshape(-1)
 
 
 def surface_mesh(params: SuGaRParams, config: SuGaRConfig):

@@ -288,6 +288,8 @@ def mesh_regularizers(
     ref_edge_len=None,
     tables=None,
     adj_tables=None,
+    face_mask=None,
+    adj_mask=None,
 ):
     """All three mesh losses (refine.py:678-718) from ONE verts[faces] gather.
 
@@ -296,7 +298,15 @@ def mesh_regularizers(
     reduction (~1.3 ms per 300k-row descriptor-bound gather; the round-4
     xplane trace showed seven of them). Sharing the gathered VALUE makes
     autodiff sum the three losses' cotangents first — one backward reduction.
-    Returns {'nc', 'edge', 'area'} (edge = 0 if no edge tables given)."""
+    Returns {'nc', 'edge', 'area'} (edge = 0 if no edge tables given).
+
+    `face_mask` [F] / `adj_mask` [E_int] (0/1 floats) support face-count
+    BUCKETING (train/bucketing.py): padded degenerate faces/adjacency rows
+    contribute exactly zero and the means normalize by the REAL counts (the
+    mask sums), so a padded mesh produces the identical loss value as the
+    unpadded one. The degenerate-face area/normal math is already NaN-safe
+    (_area_normal_from_comps clamps inside the sqrt); the edge-iso face tables
+    carry explicit weights, so padded faces just get weight 0."""
     from gaustar_tpu.ops.segment import gather_rows
 
     v = _face_corner_comps(verts, faces, tables)
@@ -304,14 +314,22 @@ def mesh_regularizers(
     normals = jnp.stack(n, axis=-1)
     nv = gather_rows(normals, adj_faces.reshape(-1), adj_tables).reshape(-1, 2, 3)
     dot = sum(nv[:, 0, d] * nv[:, 1, d] for d in range(3))
-    nc = (1.0 - dot).mean()
+    if adj_mask is not None:
+        nc = ((1.0 - dot) * adj_mask).sum() / jnp.maximum(adj_mask.sum(), 1.0)
+    else:
+        nc = (1.0 - dot).mean()
     if face_edge_ref is not None:
         edge = _edge_iso_from_comps(v, face_edge_ref, face_edge_w)
     elif edges is not None:
         edge = mesh_edge_isometry_loss(verts, edges, ref_edge_len)
     else:
         edge = jnp.float32(0.0)
-    area = jnp.abs(areas - ref_area).mean()
+    if face_mask is not None:
+        area = (jnp.abs(areas - ref_area) * face_mask).sum() / jnp.maximum(
+            face_mask.sum(), 1.0
+        )
+    else:
+        area = jnp.abs(areas - ref_area).mean()
     return {"nc": nc, "edge": edge, "area": area}
 
 

@@ -190,7 +190,15 @@ def preprocess(
     ry1 = jnp.clip(((mean2d[:, 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
 
     touched = (rx1 - rx0) * (ry1 - ry0)
-    alive = in_front & det_ok & (touched > 0)
+    # Opacity cull: the blend skips every pair with alpha < 1/255
+    # (forward.cu:345, blend contrib mask), and alpha = min(0.99,
+    # opacity * exp(power)) <= opacity on the power <= 0 branch (the only one
+    # that contributes), so a gaussian with opacity < 1/255 NEVER contributes
+    # to forward or backward — culling it here is exact and keeps bucketing's
+    # zero-opacity padding gaussians (train/bucketing.py) out of the pair
+    # buffers entirely.
+    op_flat = opacities.reshape(-1)
+    alive = in_front & det_ok & (touched > 0) & (op_flat >= 1.0 / 255.0)
 
     radius = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)
     touched = jnp.where(alive, touched, 0)

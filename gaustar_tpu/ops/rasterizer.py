@@ -278,16 +278,26 @@ def size_caps_to_demand(
     demand_padded: int,
     headroom: float = 1.15,
     demand_active: int | None = None,
+    quantize: int | None = None,
 ) -> RasterConfig:
     """Config with capacities sized to measured demand x headroom (see
     probe_pair_demand). max_pairs rounds up to 1024, max_padded to the chunk,
-    max_active_tiles (when probed) to 256."""
-    pairs = -(-int(demand_pairs * headroom) // 1024) * 1024
+    max_active_tiles (when probed) to 256.
+
+    `quantize` (compile-reuse mode, train/bucketing.py): round every capacity
+    up to a multiple of this bucket instead, so frame-to-frame demand drift
+    keeps the SAME static shapes and the compiled step program is reused
+    (capacities are static shapes — any change recompiles)."""
+    qp = quantize if quantize else 1024
+    pairs = -(-int(demand_pairs * headroom) // qp) * qp
     padded = max(int(demand_padded * headroom), pairs)
+    qd = quantize if quantize else config.chunk
+    padded = -(-padded // qd) * qd
     padded = -(-padded // config.chunk) * config.chunk
     active = config.max_active_tiles
     if demand_active is not None:
-        active = -(-int(demand_active * headroom) // 256) * 256
+        qa = quantize if quantize else 256
+        active = -(-int(demand_active * headroom) // qa) * qa
     return dataclasses.replace(
         config, max_pairs=pairs, max_padded=padded, max_active_tiles=active
     )

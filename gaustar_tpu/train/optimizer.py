@@ -87,6 +87,44 @@ def make_sugar_optimizer(
     return optax.multi_transform(transforms, labels)
 
 
+def make_adam_direction() -> optax.GradientTransformation:
+    """The Adam DIRECTION transform (scale_by_adam, eps 1e-15) shared by every
+    param group: optax.adam(lr) == chain(scale_by_adam, scale(-lr)), and the
+    named groups differ ONLY in lr, so the compile-reuse step
+    (refine.RefineConfig.traced_hparams) runs one scale_by_adam over the whole
+    pytree and applies the per-group lrs as traced scalars (make_lr_fn) —
+    numerically identical to make_sugar_optimizer, with no per-frame constants
+    in the program."""
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
+
+
+def make_lr_fn(opt: OptimizationParams, spatial_lr_scale: float):
+    """fn(iteration) -> SuGaRParams of python-float per-group learning rates at
+    that iteration (the exp position schedule evaluated on HOST; the reference
+    updates the points lr per iteration the same way, sugar_optimizer.py:106-114
+    via refine.py:542)."""
+    pos_schedule = get_expon_lr_func(
+        lr_init=opt.position_lr_init * spatial_lr_scale,
+        lr_final=opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
+    )
+
+    def fn(iteration: int) -> SuGaRParams:
+        return SuGaRParams(
+            points=float(pos_schedule(iteration)),
+            scales=opt.scaling_lr,
+            complex2d=opt.rotation_lr,
+            densities=opt.opacity_lr,
+            sh_dc=opt.feature_lr,
+            sh_rest=opt.feature_lr / 20.0,
+            delta_t=opt.position_lr_init * spatial_lr_scale,
+            delta_r=opt.rotation_lr,
+        )
+
+    return fn
+
+
 def make_simple_adam_optimizer(lr_map: dict[str, Any], template) -> optax.GradientTransformation:
     """Generic named-group Adam for other pytrees (e.g. vanilla GaussianParams)."""
 

@@ -75,6 +75,15 @@ class RefineConfig:
     loose_bind_factor_r: float = 1.0
     unbind_threshold: int = 100  # min fully-flagged gaussians to loose-bind (refine.py:720-737)
     do_sh_warmup: bool = True
+    # Traced hyperparameters (compile-reuse mode, used with face bucketing —
+    # train/bucketing.py): the knobs that differ across frames / the
+    # post-update re-refine (SH warmup interval, edge-iso threshold, area-iso
+    # factor, sh-reg on/off, per-group learning rates incl. the exp position
+    # schedule) become TRACED step inputs instead of baked constants, so one
+    # compiled program serves num_iterations=2000 and =1000, frame-0 and later
+    # frames, and every mesh whose face count shares a bucket. Values and
+    # gradients are identical (the constants just arrive via arguments).
+    traced_hparams: bool = False
     # Multi-camera batch lowering: "unroll" re-traces compute_losses per camera
     # (XLA CSE shares the camera-independent subgraphs; compile grows ~linearly
     # in B), "scan" is a lax.scan with hoisted geometry/mesh losses (flat
@@ -101,6 +110,29 @@ class FrameData(NamedTuple):
     # Optional static backward tables for the normals[adj_faces] gather
     # (ops/segment.py): segment-sum VJP instead of a scatter-add.
     adj_gather: Any = None  # (order [2*E_int], offsets [F+1])
+    # Optional [E_int] 0/1 mask of real adjacency rows (face bucketing pads
+    # adj_faces with [0, 0] rows; see train/bucketing.py).
+    adj_mask: Any = None
+
+
+class TracedGates(NamedTuple):
+    """Per-frame refine knobs as TRACED scalars (see RefineConfig.traced_hparams).
+    Built by make_train_step from the static RefineConfig; two configs that
+    differ only in these values lower to the SAME program."""
+
+    sh_every: Any  # int32: SH warmup interval (num_iterations // 4)
+    edge_from: Any  # int32: edge-iso activation threshold (0 or 999999)
+    area_factor: Any  # f32: area-iso factor (5000 frame 0, 1000 later)
+    sh_reg_w: Any  # f32: sh-reg weight (0 = off)
+
+    @staticmethod
+    def from_config(cfg: "RefineConfig") -> "TracedGates":
+        return TracedGates(
+            sh_every=jnp.int32(max(cfg.num_iterations // 4, 1)),
+            edge_from=jnp.int32(min(cfg.edge_iso_from, 2**31 - 1)),
+            area_factor=jnp.float32(cfg.area_iso_factor),
+            sh_reg_w=jnp.float32(cfg.sh_reg_loss_factor if cfg.use_sh_reg else 0.0),
+        )
 
 
 def with_face_edge_tables(data: "FrameData", faces) -> "FrameData":
@@ -182,6 +214,7 @@ def compute_losses(
     unbind_weight=None,
     pre_sh_dc=None,
     sh_band_w=None,
+    gates: TracedGates | None = None,
 ):
     """One iteration's full loss (refine.py:552-748). Differentiable in params.
 
@@ -210,7 +243,7 @@ def compute_losses(
     )
     loss, loss_dict = losses_after_render(
         params, model_config, data, cam_idx, iteration, cfg,
-        img, pred_depth, unbind_weight, pre_sh_dc, layout="cm",
+        img, pred_depth, unbind_weight, pre_sh_dc, layout="cm", gates=gates,
     )
     # Capacity telemetry: lets the host loop auto-grow the raster config on
     # overflow instead of silently truncating (see refine_frame).
@@ -287,13 +320,14 @@ def losses_after_render(
     unbind_weight=None,
     pre_sh_dc=None,
     layout: str = "hwc",
+    gates: TracedGates | None = None,
 ):
     """The full refine loss stack GIVEN a rendered (img, pred_depth) — shared
     by the single-device path (compute_losses) and the gaussian-axis sharded
     path (parallel/gauss2d.py), so their loss math is one implementation."""
     loss, loss_dict = pixel_losses(data, cam_idx, iteration, cfg, img, pred_depth, layout)
     s_loss, s_dict = shared_losses(
-        params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc
+        params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc, gates
     )
     loss_dict.update(s_dict)
     return loss + s_loss, loss_dict
@@ -307,16 +341,40 @@ def shared_losses(
     cfg: RefineConfig,
     unbind_weight=None,
     pre_sh_dc=None,
+    gates: TracedGates | None = None,
 ):
     """The CAMERA-INDEPENDENT loss terms (sh_reg + mesh + unbind + opacity
     regularizers): batched steps compute these ONCE outside the per-camera
-    scan/unroll (compute_losses_multi_scan)."""
+    scan/unroll (compute_losses_multi_scan).
+
+    With `gates` (compile-reuse mode) the per-frame knobs arrive as traced
+    scalars; with face bucketing (model_config.face_mask) every mean
+    normalizes by the REAL element counts, so padded models produce identical
+    values/gradients."""
     loss = jnp.float32(0.0)
     loss_dict = {}
 
+    gmask = None
+    inv_ng = None
+    if model_config.face_mask is not None:
+        gmask = sugar.gaussian_mask(model_config)  # [N] 0/1
+        inv_ng = 1.0 / jnp.maximum(gmask.sum(), 1.0)
+
+    def gmean(x):
+        """Mean over REAL gaussians of a [N, ...] tensor (plain mean unbucketed)."""
+        if gmask is None:
+            return x.mean()
+        extra = float(np.prod(x.shape[1:])) if x.ndim > 1 else 1.0
+        m = gmask.reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x * m).sum() * inv_ng / extra
+
     # --- SH regularization to previous frame (refine.py:663-669) ---
-    if cfg.use_sh_reg and pre_sh_dc is not None:
-        sh_reg = cfg.sh_reg_loss_factor * ((pre_sh_dc - params.sh_dc[:, 0, :]) ** 2).mean()
+    if gates is not None:
+        sh_reg = gates.sh_reg_w * gmean((pre_sh_dc - params.sh_dc[:, 0, :]) ** 2)
+        loss = loss + sh_reg
+        loss_dict["sh_reg_loss"] = sh_reg
+    elif cfg.use_sh_reg and pre_sh_dc is not None:
+        sh_reg = cfg.sh_reg_loss_factor * gmean((pre_sh_dc - params.sh_dc[:, 0, :]) ** 2)
         loss = loss + sh_reg
         loss_dict["sh_reg_loss"] = sh_reg
 
@@ -336,18 +394,22 @@ def shared_losses(
         ref_edge_len=data.ref_edge_len,
         tables=model_config.face_gather,
         adj_tables=data.adj_gather,
+        face_mask=model_config.face_mask,
+        adj_mask=data.adj_mask,
     )
     nc = cfg.normal_consistency_factor * reg["nc"]
     loss = loss + nc
     loss_dict["nc_loss"] = nc
 
-    edge_on = iteration > cfg.edge_iso_from
+    edge_from = gates.edge_from if gates is not None else cfg.edge_iso_from
+    edge_on = iteration > edge_from
     edge = cfg.edge_iso_factor * reg["edge"]
     loss = loss + jnp.where(edge_on, edge, 0.0)
     loss_dict["edge_loss"] = edge
 
+    area_factor = gates.area_factor if gates is not None else cfg.area_iso_factor
     area_on = iteration > cfg.area_iso_from
-    area = cfg.area_iso_factor * reg["area"]
+    area = area_factor * reg["area"]
     loss = loss + jnp.where(area_on, area, 0.0)
     loss_dict["area_loss"] = area
 
@@ -367,12 +429,12 @@ def shared_losses(
     # --- unbind regularization (refine.py:738-740) ---
     if model_config.loose_bind and unbind_weight is not None:
         w = unbind_weight[:, None]
-        loss = loss + cfg.loose_bind_factor_t * (w * jnp.abs(params.delta_t)).mean()
-        loss = loss + cfg.loose_bind_factor_r * (w * jnp.abs(params.delta_r[..., 1:])).mean()
+        loss = loss + cfg.loose_bind_factor_t * gmean(w * jnp.abs(params.delta_t))
+        loss = loss + cfg.loose_bind_factor_r * gmean(w * jnp.abs(params.delta_r[..., 1:]))
 
     # --- opacity regularization (refine.py:743-748) ---
     if cfg.use_opacity_reg:
-        op_reg = jax.nn.relu(cfg.min_opacity - sugar.strengths(params)).mean()
+        op_reg = gmean(jax.nn.relu(cfg.min_opacity - sugar.strengths(params)))
         loss = loss + op_reg
         loss_dict["opacity_reg"] = op_reg
 
@@ -391,6 +453,7 @@ def compute_losses_multi(
     unbind_weight=None,
     pre_sh_dc=None,
     sh_band_w=None,
+    gates: TracedGates | None = None,
 ):
     """Mean of compute_losses over a STATIC batch of cameras (cam_idxs [B]).
 
@@ -409,7 +472,7 @@ def compute_losses_multi(
     for b in range(n):
         loss_b, ld_b = compute_losses(
             params, model_config, data, cam_idxs[b], iteration, cfg, raster_cfg,
-            sh_deg, unbind_weight, pre_sh_dc, sh_band_w,
+            sh_deg, unbind_weight, pre_sh_dc, sh_band_w, gates,
         )
         b_total = loss_b if b_total is None else b_total + loss_b
         for k, v in ld_b.items():
@@ -436,6 +499,7 @@ def compute_losses_multi_scan(
     unbind_weight=None,
     pre_sh_dc=None,
     sh_band_w=None,
+    gates: TracedGates | None = None,
 ):
     """compute_losses_multi with the camera batch as a lax.scan, not a
     trace-time unroll: compile time and HLO size stay FLAT in B (the unrolled
@@ -478,7 +542,7 @@ def compute_losses_multi_scan(
     loss_dict["num_active"] = num_active.max()
 
     s_loss, s_dict = shared_losses(
-        params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc
+        params, model_config, data, iteration, cfg, unbind_weight, pre_sh_dc, gates
     )
     loss_dict.update(s_dict)
     return loss + s_loss, loss_dict
@@ -491,6 +555,8 @@ def make_train_step(
     raster_cfg: RasterConfig,
     optimizer: optax.GradientTransformation,
     dynamic_sh: bool = True,
+    opt_params=None,
+    spatial_lr_scale: float | None = None,
 ):
     """Returns jitted step(params, opt_state, cam_idx, iteration, sh_deg, ...) ->
     (params, opt_state, loss, loss_dict). `cam_idx` may be a scalar (reference
@@ -502,16 +568,35 @@ def make_train_step(
     whole frame shares ONE compiled program. Round 2 measured ~160 s of XLA
     compile per sh_deg re-jit over the axon tunnel — 3 of the 4 REFSCALE
     segments were compile, not compute (ROOFLINE.md). With dynamic_sh=False
-    the step re-traces per static sh_deg (the round-2 behavior)."""
+    the step re-traces per static sh_deg (the round-2 behavior).
+
+    With cfg.traced_hparams (compile-reuse mode) `optimizer` must be the
+    direction-only transform (optimizer.make_adam_direction()) and
+    opt_params/spatial_lr_scale must be given: the per-group learning rates
+    (incl. the exp position schedule, sugar_optimizer.py:106-114) are computed
+    on host per iteration and applied as TRACED scalars, and the per-frame cfg
+    knobs ride in as TracedGates — so the lowered HLO contains no per-frame
+    constants and one compiled program serves every frame/re-refine in the
+    same shape bucket (the point of train/bucketing.py)."""
 
     dynamic_sh = dynamic_sh and cfg.do_sh_warmup  # without warmup sh_deg is already fixed
+    traced = cfg.traced_hparams
+    if traced:
+        from gaustar_tpu.train.optimizer import make_lr_fn
+
+        assert opt_params is not None and spatial_lr_scale is not None, (
+            "traced_hparams needs opt_params + spatial_lr_scale for the host-side "
+            "lr schedule"
+        )
+        lr_fn = make_lr_fn(opt_params, spatial_lr_scale)
+        gates_const = TracedGates.from_config(cfg)
 
     # `data` and `model_config` ride as jit ARGUMENTS (via the wrapper below),
     # NOT closure constants: closure arrays are baked into the compile payload,
     # and 40 cameras of 1.6 MP GT (~1 GB) overflow the axon tunnel's remote
     # compiler request (HTTP 413) — observed in the round-3 refscale sequence.
     @functools.partial(jax.jit, static_argnames=("sh_deg",), donate_argnums=(0, 1))
-    def _step(params, opt_state, mcfg, fdata, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
+    def _step(params, opt_state, mcfg, fdata, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc, gates, lrs):
         if jnp.ndim(cam_idx) == 0:
             loss_impl = compute_losses
         elif cfg.batch_impl == "scan":
@@ -522,7 +607,10 @@ def make_train_step(
         sh_band_w = None
         if dynamic_sh:
             # sh_deg_at, with a traced iteration: min(it//every + 1, L) - 1.
-            every = max(cfg.num_iterations // 4, 1)
+            if gates is not None:
+                every = gates.sh_every
+            else:
+                every = max(cfg.num_iterations // 4, 1)
             cur_deg = jnp.minimum(iteration // every + 1, cfg.sh_levels) - 1
             # weight-vector length = the MODEL's band count (banded eval runs
             # over the full stored basis); cur_deg caps at cfg.sh_levels.
@@ -541,21 +629,57 @@ def make_train_step(
                 unbind_weight,
                 pre_sh_dc,
                 sh_band_w,
+                gates,
             )
 
         (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        if lrs is not None:
+            # optax.adam == scale_by_adam then scale(-lr); applying the traced
+            # per-group lrs here is exactly the reference's named-group Adam
+            # (sugar_optimizer.py:67-87) with the constants as arguments.
+            dirs, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda d, lr: -lr * d, dirs, lrs)
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, loss_dict
 
     def step(params, opt_state, cam_idx, iteration, sh_deg, unbind_weight, pre_sh_dc):
         if dynamic_sh:
             sh_deg = 0  # ignored; must not vary the cache key
+        gates = lrs = None
+        if traced:
+            gates = gates_const
+            lrs = jax.tree_util.tree_map(jnp.float32, lr_fn(int(iteration)))
         return _step(
-            params, opt_state, model_config, data, cam_idx, iteration, sh_deg,
-            unbind_weight, pre_sh_dc,
+            params, opt_state, model_config, data,
+            jnp.asarray(cam_idx, jnp.int32), jnp.int32(iteration), sh_deg,
+            unbind_weight, pre_sh_dc, gates, lrs,
         )
 
+    def prewarm(params_like, opt_state_like, batch: int | None = None):
+        """AOT-compile this step's program for the given param/opt shapes
+        WITHOUT executing it (jax shares the executable via the persistent
+        compilation cache) — used to hide the loose-bind step compile under
+        the training wall (train/sequence.py)."""
+        p_sds = jax.eval_shape(lambda x: x, params_like)
+        o_sds = jax.eval_shape(lambda x: x, opt_state_like)
+        n = params_like.scales.shape[0]
+        cam_sds = jax.ShapeDtypeStruct((batch,) if batch else (), jnp.int32)
+        it_sds = jax.ShapeDtypeStruct((), jnp.int32)
+        uw_sds = jax.ShapeDtypeStruct((n,), jnp.float32)
+        pre_sds = jax.ShapeDtypeStruct((n, 3), jnp.float32)
+        gates = lrs = None
+        if traced:
+            gates = gates_const
+            lrs = jax.tree_util.tree_map(jnp.float32, lr_fn(1))
+        _step.lower(
+            p_sds, o_sds, model_config, data, cam_sds, it_sds, 0,
+            uw_sds, pre_sds, gates, lrs,
+        ).compile()
+
+    step.prewarm = prewarm
+    step.jitted = _step  # tests assert program identity on the lowered HLO
     return step
 
 
@@ -606,6 +730,9 @@ def refine_frame(
     params = jax.tree_util.tree_map(jnp.copy, params)
 
     n_faces = model_config.faces.shape[0]
+    if model_config.face_mask is not None:
+        # Bucketed model: the reference-formula inputs are the REAL counts.
+        n_faces = int(np.asarray(model_config.face_mask).sum())
     if spatial_lr_scale is None:
         # refine.py:408: 10 * bbox_radius / sqrt(n_faces); bbox from mesh extent.
         pts = np.asarray(params.points)
@@ -613,7 +740,12 @@ def refine_frame(
         spatial_lr_scale = 10.0 * radius / np.sqrt(n_faces)
     if opt_params is None:
         opt_params = OptimizationParams(iterations=cfg.num_iterations)
-    optimizer = make_sugar_optimizer(opt_params, spatial_lr_scale)
+    if cfg.traced_hparams:
+        from gaustar_tpu.train.optimizer import make_adam_direction
+
+        optimizer = make_adam_direction()
+    else:
+        optimizer = make_sugar_optimizer(opt_params, spatial_lr_scale)
     opt_state = optimizer.init(params)
 
     if auto_size_caps is not None:
@@ -627,12 +759,16 @@ def refine_frame(
             raster_cfg,
         )
         raster_cfg = size_caps_to_demand(
-            raster_cfg, d_pairs, d_padded, auto_size_caps, demand_active=d_active
+            raster_cfg, d_pairs, d_padded, auto_size_caps, demand_active=d_active,
+            # Compile-reuse mode: quantize capacities so frame-to-frame demand
+            # drift keeps the same static shapes (train/bucketing.py).
+            quantize=(1 << 16) if cfg.traced_hparams else None,
         )
         if log_fn:
             log_fn({"auto_caps_pairs": raster_cfg.max_pairs, "auto_caps_padded": raster_cfg.max_padded})
 
-    step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+    step = make_train_step(model_config, data, cfg, raster_cfg, optimizer,
+                           opt_params=opt_params, spatial_lr_scale=spatial_lr_scale)
 
     if config_dump_path:
         # Reference: per-run config.json capturing all hyperparameters
@@ -675,7 +811,8 @@ def refine_frame(
         if was_loose and not loose:
             params, model_config = sugar.loose_bound(params, model_config)
             loose = True
-            step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+            step = make_train_step(model_config, data, cfg, raster_cfg, optimizer,
+                           opt_params=opt_params, spatial_lr_scale=spatial_lr_scale)
         if uw_saved is not None:
             unbind_weight = uw_saved
         start_it = done_it + 1
@@ -695,6 +832,10 @@ def refine_frame(
         # One-time unbind decision (refine.py:720-737).
         if it == cfg.loose_bind_from and detect_topo_fn is not None and not loose:
             face_weight = np.asarray(detect_topo_fn(params, model_config))  # [F] in [0,1]
+            if model_config.face_mask is not None:
+                # Bucketing padding faces all share vertex 0's detection weight;
+                # they must never count toward the unbind decision.
+                face_weight = face_weight * np.asarray(model_config.face_mask)
             w = 1.0 - np.repeat(face_weight, model_config.n_gaussians_per_face)
             n_changed = int((w == 0).sum())
             if n_changed >= cfg.unbind_threshold:
@@ -702,7 +843,8 @@ def refine_frame(
                 unbind_weight = jnp.asarray(w, jnp.float32)
                 loose = True
                 # Rebuild step for the new (static) loose_bind config.
-                step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+                step = make_train_step(model_config, data, cfg, raster_cfg, optimizer,
+                           opt_params=opt_params, spatial_lr_scale=spatial_lr_scale)
 
         sh_deg = sh_deg_at(it, cfg)
         params, opt_state, loss, loss_dict = step(
@@ -756,7 +898,8 @@ def refine_frame(
                     raster_cfg, max_pairs=new_pairs, max_padded=new_padded,
                     max_active_tiles=new_active,
                 )
-                step = make_train_step(model_config, data, cfg, raster_cfg, optimizer)
+                step = make_train_step(model_config, data, cfg, raster_cfg, optimizer,
+                           opt_params=opt_params, spatial_lr_scale=spatial_lr_scale)
                 if log_fn:
                     log_fn({"iteration": it, "capacity_retry_max_pairs": new_pairs})
 

@@ -95,6 +95,7 @@ def test_sequence_two_frames(tmp_path):
         refinement_iterations=12,
         disable_mesh_update=True,  # tiny scene: skip unbind machinery here
         sh_reg=True,
+        face_bucket=128,  # tiny scene: exercise bucketing at a small bucket
     )
     rcfg = RasterConfig(max_pairs=1 << 15, chunk=32, max_per_tile=512, impl="jax")
     # Toy-scale scene: coarser agreement, small edge kernel, low edge scalar
@@ -143,7 +144,7 @@ def test_checkpoint_color_prior_carries_sh_rest():
     gt_images = np.stack(gt_images)
     gt_depths = np.stack(gt_depths)
 
-    seq = SequenceConfig(refinement_iterations=4, disable_mesh_update=True)
+    seq = SequenceConfig(refinement_iterations=4, disable_mesh_update=True, face_bucket=None)
     p0, *_ = refine_one_frame(
         seq, 0, verts, faces, colors, cams, gt_images, gt_depths, rcfg,
         is_first_frame=True, enable_unbind=False,

@@ -115,6 +115,10 @@ def test_topology_change_end_to_end(tmp_path):
         fusion_voxel_size=0.03, fusion_simplify_face_num=2000,
         spatial_lr_scale=20.0,  # ~65x the reference formula; see SequenceConfig
         fusion_solid_opacity=0.995,
+        # Small bucket: the topology-change path (unbind -> fusion -> surgery
+        # -> re-refine) runs END TO END in compile-reuse mode, proving the
+        # padded model round-trips through every stage.
+        face_bucket=256,
     )
     dcfg = topo_detect.TopoDetectConfig(
         depth_scalar=3.0,  # the REFERENCE constant (refined_mesh.py:724-726)
