@@ -104,6 +104,25 @@ def test_torch_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(p[k]), np.asarray(spec[k]), err_msg=k)
 
 
+def test_flow_pipeline_from_torch_checkpoint(tmp_path):
+    """The full weights path end to end (VERDICT r4 item 8): torch.save a
+    reference-layout checkpoint -> load_torch_checkpoint -> compute_flow_pair
+    executes and, with all-zero conv weights, predicts exactly zero flow."""
+    import pytest
+
+    pytest.importorskip("torch")
+    from gaustar_tpu.tools import raft
+
+    path, _ = _reference_torch_checkpoint(tmp_path, zero=True)
+    p = raft.load_torch_checkpoint(path)
+    rng = np.random.default_rng(4)
+    img = (rng.uniform(size=(40, 60, 3)) * 255).astype(np.uint8)
+    f, b, pad = raft.compute_flow_pair(p, img, img, iters=1, scale=0.5)
+    assert f.shape == (20, 30, 2) and b.shape == (20, 30, 2)
+    np.testing.assert_allclose(f, 0.0, atol=1e-5)
+    np.testing.assert_allclose(b, 0.0, atol=1e-5)
+
+
 def test_zero_checkpoint_epe():
     """End-to-end numeric anchor: all-zero conv weights make every GRU flow
     update exactly zero (flow_head outputs 0; the convex upsampler averages
