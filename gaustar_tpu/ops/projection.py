@@ -179,15 +179,50 @@ def preprocess(
     lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
 
+    # EXACT per-axis support shrink (TPU-first; outputs bit-identical to the
+    # CUDA 3*sigma_max box): a pixel contributes only when
+    # alpha = op * exp(-q/2) >= 1/255 (forward.cu:345), and the conic
+    # quadratic's marginal bound q >= dx^2 / cov_xx means |dx| beyond
+    # hx = sqrt(2 ln(255 op) cov_xx) can never contribute (same for y). The
+    # CUDA rect is the ISOTROPIC square of radius 3 sqrt(lam_max) on both
+    # axes — for SuGaR's surface-bound gaussians (flat ellipses seen
+    # obliquely) and for low-opacity gaussians the tight per-axis box lists
+    # far fewer (gaussian, tile) pairs. Clamped by radius_f, the listed set
+    # is a SUBSET of CUDA's whose dropped pairs are all below the 1/255 skip
+    # — forward, backward, and n_contrib are exactly unchanged; only pair
+    # buffers (descriptor/sort/scan cost ~ proportional to pairs) shrink.
+    # On CUDA a useless pair costs ~nothing; here each one costs real rows.
+    op_flat = opacities.reshape(-1)
+    two_l = 2.0 * jnp.log(jnp.maximum(op_flat, 1.0 / 255.0) * 255.0)
+    hx = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * cov2d[:, 0], 0.0)))
+    hy = jnp.ceil(jnp.sqrt(jnp.maximum(two_l * cov2d[:, 2], 0.0)))
+    rx_f = jnp.minimum(radius_f, hx)
+    ry_f = jnp.minimum(radius_f, hy)
+
     # Tile rect (getRect, auxiliary.h:46-57). grid dims from padded image size.
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
     # CUDA truncates toward zero after float division; for the min corner the operand
     # can be negative, where int-cast truncation (toward 0) == floor after the max(0).
-    rx0 = jnp.clip(((mean2d[:, 0] - radius_f) / TILE).astype(jnp.int32), 0, grid_x)
-    ry0 = jnp.clip(((mean2d[:, 1] - radius_f) / TILE).astype(jnp.int32), 0, grid_y)
-    rx1 = jnp.clip(((mean2d[:, 0] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
-    ry1 = jnp.clip(((mean2d[:, 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    rx0 = jnp.clip(((mean2d[:, 0] - rx_f) / TILE).astype(jnp.int32), 0, grid_x)
+    ry0 = jnp.clip(((mean2d[:, 1] - ry_f) / TILE).astype(jnp.int32), 0, grid_y)
+    # Max corner: CUDA's (p + r + TILE-1)/TILE trunc is ceil only for INTEGER
+    # p + r — for fractional p it can miss the topmost sliver pixel. With
+    # CUDA's own radius that quirk is part of the parity contract, but the
+    # shrunk axes must not drop DIFFERENT pixels than CUDA would, so they use
+    # a true ceil (+TILE overshoots by at most one tile) and clamp inside
+    # CUDA's quirk-for-quirk rect — the listed set stays a superset of
+    # (CUDA's rect ∩ the alpha >= 1/255 support) and a subset of CUDA's rect.
+    rx1_cuda = ((mean2d[:, 0] + radius_f + TILE - 1) / TILE).astype(jnp.int32)
+    ry1_cuda = ((mean2d[:, 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32)
+    rx1 = jnp.clip(
+        jnp.minimum(rx1_cuda, ((mean2d[:, 0] + rx_f + TILE) / TILE).astype(jnp.int32)),
+        0, grid_x,
+    )
+    ry1 = jnp.clip(
+        jnp.minimum(ry1_cuda, ((mean2d[:, 1] + ry_f + TILE) / TILE).astype(jnp.int32)),
+        0, grid_y,
+    )
 
     touched = (rx1 - rx0) * (ry1 - ry0)
     # Opacity cull: the blend skips every pair with alpha < 1/255
@@ -197,7 +232,6 @@ def preprocess(
     # to forward or backward — culling it here is exact and keeps bucketing's
     # zero-opacity padding gaussians (train/bucketing.py) out of the pair
     # buffers entirely.
-    op_flat = opacities.reshape(-1)
     alive = in_front & det_ok & (touched > 0) & (op_flat >= 1.0 / 255.0)
 
     radius = jnp.where(alive, radius_f, 0.0).astype(jnp.int32)

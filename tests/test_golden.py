@@ -11,6 +11,14 @@ same npz format (recorded from diff-gaussian-rasterization's forward.cu:261-374
 and backward.cu:400-557 on a GPU machine; gradients of
 loss = sum(image*probe) + sum(final_T*probe_t)) and they are picked up
 automatically by the same assertions.
+
+n_contrib caveat: like CUDA's, it is the LIST POSITION of the last contributing
+pair in the tile's (rect-listed, depth-sorted) pair list — so it depends on how
+many sub-threshold pairs the rect lists before it. The exact anisotropic rect
+shrink (ops/projection.py, r5) lists fewer such pairs than CUDA's isotropic
+3-sigma box while leaving images/final_T/gradients BITWISE identical (verified
+on all six fixtures at the change); recorded CUDA n_contrib therefore will not
+match ours and is exempted below for cuda/ fixtures.
 """
 
 import glob
@@ -35,7 +43,7 @@ CFGS = {
 }
 
 
-def _run(path, cfg, tol):
+def _run(path, cfg, tol, check_ncontrib=True):
     z = np.load(path)
     cam = Camera.from_w2c(
         z["w2c"], float(z["fx"]), float(z["fy"]), float(z["cx"]), float(z["cy"]),
@@ -61,7 +69,8 @@ def _run(path, cfg, tol):
     np.testing.assert_allclose(
         np.asarray(aux.final_T), z["final_T"], atol=tol, err_msg="final_T"
     )
-    np.testing.assert_array_equal(np.asarray(aux.n_contrib), z["n_contrib"])
+    if check_ncontrib:
+        np.testing.assert_array_equal(np.asarray(aux.n_contrib), z["n_contrib"])
     for key, g in zip(("g_means3d", "g_scales", "g_quats", "g_opacities", "g_colors"), grads):
         # f32 gradient chains through the EWA covariance are ill-conditioned on
         # the adversarial scenes (unnormalized_quat especially): tiled-vs-dense
@@ -86,8 +95,9 @@ def test_golden_fixture(path, impl):
 @pytest.mark.parametrize("impl", ["jax", "pallas"])
 def test_cuda_golden_fixture(path, impl):
     # CUDA float atomics / sort ties are nondeterministic at ULP level
-    # (SURVEY §4) -> looser tolerance than our deterministic self-goldens.
-    _run(path, CFGS[impl], tol=1e-3)
+    # (SURVEY §4) -> looser tolerance than our deterministic self-goldens; and
+    # n_contrib is list-relative (see module docstring) so it is not compared.
+    _run(path, CFGS[impl], tol=1e-3, check_ncontrib=False)
 
 
 def test_fixtures_present():
