@@ -150,10 +150,11 @@ def test_reference_mode_preset_reproduces_raw_behavior():
     assert preset.solid_opacity is None
     assert preset.bilinear_query is False
     assert preset.agreement_px == 0.0 and preset.agreement_edge == 0.0  # raw fixed gate
+    assert preset.aggregate == "mean"  # raw equal mean
 
     explicit = topo_detect.TopoDetectConfig(
         composite_over_surface=False, solid_opacity=None, bilinear_query=False,
-        agreement_px=0.0, agreement_edge=0.0, **kw
+        agreement_px=0.0, agreement_edge=0.0, aggregate="mean", **kw
     )
     w_preset = topo_detect.detect_topo_err(
         target, config, data.cameras, np.asarray(data.gt_depths), topo, rcfg, preset
