@@ -56,6 +56,7 @@ import os
 #   GAUSTAR_REFSCALE_CAMS=160 GAUSTAR_REFSCALE_ITERS=200 \
 #   GAUSTAR_REFSCALE_OUT=REFSCALE160.json python examples/refscale_frame.py
 ITERS = int(os.environ.get("GAUSTAR_REFSCALE_ITERS", "2000"))
+BATCH = int(os.environ.get("GAUSTAR_REFSCALE_BATCH", "1"))
 N_CAMS = int(os.environ.get("GAUSTAR_REFSCALE_CAMS", "40"))
 OUT_JSON = os.environ.get("GAUSTAR_REFSCALE_OUT", "REFSCALE.json")
 INNER = 50  # iterations per device call (tunnel watchdog bound, see r2 notes)
@@ -112,7 +113,9 @@ def widen_rig(data):
 
 def make_runner(config, raster_cfg, cfg, optimizer, n_g, iters_total):
     """One jitted INNER-iteration fori runner for the WHOLE frame: SH warmup is
-    traced (banded eval), so there is exactly one XLA program."""
+    traced (banded eval), so there is exactly one XLA program. With BATCH > 1
+    (GAUSTAR_REFSCALE_BATCH) each iteration averages a camera batch via the
+    scan-batched step (compute_losses_multi_scan — flat compile in B)."""
     uw = jnp.zeros((n_g,), jnp.float32)
 
     @jax.jit
@@ -125,6 +128,13 @@ def make_runner(config, raster_cfg, cfg, optimizer, n_g, iters_total):
             band_w = sh_ops.warmup_degree_weights(cur_deg, 3)
 
             def loss_fn(pp):
+                if BATCH > 1:
+                    from gaustar_tpu.train.refine import compute_losses_multi_scan
+
+                    return compute_losses_multi_scan(
+                        pp, config, data, cam_idxs[k], it, cfg, raster_cfg,
+                        2, uw, pre, band_w,
+                    )
                 return compute_losses(
                     pp, config, data, cam_idxs[k], it, cfg, raster_cfg,
                     2, uw, pre, band_w,
@@ -162,7 +172,8 @@ def train_frame(params, config, data, raster_cfg, cfg, iters, rng, report_key, r
     pre = params.sh_dc[:, 0, :] * 0.0
 
     run = make_runner(config, raster_cfg, cfg, optimizer, n_g, iters)
-    cam_idxs0 = jnp.asarray(rng.integers(0, N_CAMS, size=INNER), jnp.int32)
+    cam_shape = (INNER, BATCH) if BATCH > 1 else (INNER,)
+    cam_idxs0 = jnp.asarray(rng.integers(0, N_CAMS, size=cam_shape), jnp.int32)
 
     t0 = time.time()
     compiled = run.lower(
@@ -182,7 +193,7 @@ def train_frame(params, config, data, raster_cfg, cfg, iters, rng, report_key, r
         t0 = time.time()
         acc, first_nan = 0.0, None
         for s0 in range(0, seg_len, INNER):
-            cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=INNER), jnp.int32)
+            cam_idxs = jnp.asarray(rng.integers(0, N_CAMS, size=cam_shape), jnp.int32)
             params, opt_state, a = compiled(
                 params, opt_state, data, jnp.int32(it0 + s0), cam_idxs, pre
             )
@@ -234,6 +245,7 @@ def main():
         "n_gaussians": int(params.scales.shape[0]),
         "n_faces": int(config.faces.shape[0]),
         "n_cams": N_CAMS, "resolution": [W, H], "iterations": ITERS,
+        "camera_batch": BATCH,  # B>1: each iteration averages a camera batch
     }
     cfg = RefineConfig(num_iterations=ITERS, loose_bind_from=ITERS // 2, do_sh_warmup=True)
     rng = np.random.default_rng(0)

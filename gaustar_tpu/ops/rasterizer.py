@@ -296,7 +296,11 @@ def size_caps_to_demand(
     padded = -(-padded // config.chunk) * config.chunk
     active = config.max_active_tiles
     if demand_active is not None:
-        qa = quantize if quantize else 256
+        # Active-tile counts are SMALL (<= the tile grid, ~6.4k at 1.6 MP) and
+        # every unit of this cap is a Pallas grid step fwd+bwd — quantizing it
+        # with the pair-scale bucket once inflated it to 65536 (10x the whole
+        # grid) and slowed every blend ~10x. Bound its bucket at 1024.
+        qa = 256 if quantize is None else min(quantize, 1024)
         active = -(-int(demand_active * headroom) // qa) * qa
     return dataclasses.replace(
         config, max_pairs=pairs, max_padded=padded, max_active_tiles=active

@@ -186,3 +186,17 @@ def test_profiling_utils():
 
     with pytest.raises(OverflowError):
         debug_validate(params, aux=Aux(), max_pairs=50, name="ovf")
+
+
+def test_size_caps_quantize_bounds_active_tiles():
+    """Compile-reuse quantization must NOT inflate max_active_tiles: every unit
+    of that cap is a Pallas grid step fwd+bwd, and the 64k pair-scale bucket
+    once blew it to 10x the whole tile grid (r5 REFSCALE_SEQ regression)."""
+    from gaustar_tpu.ops.rasterizer import RasterConfig, size_caps_to_demand
+
+    cfg = RasterConfig(max_pairs=1 << 20, max_padded=1 << 20, chunk=256,
+                       max_active_tiles=1024)
+    out = size_caps_to_demand(cfg, 1_000_000, 1_100_000, 1.3,
+                              demand_active=855, quantize=1 << 16)
+    assert out.max_pairs % (1 << 16) == 0
+    assert out.max_active_tiles <= 4096, out.max_active_tiles
